@@ -101,6 +101,21 @@ def dump_rules(rules: list[Rule]) -> str:
     return "\n".join(sorted(r.render() for r in rules))
 
 
+# Go's unicode.IsSpace set (strings.Fields / TrimSpace): ASCII \t\n\v\f\r
+# and space, NEL, NBSP, and the Unicode space separators. NOTE: narrower
+# than Python's str.split() whitespace — Python also splits on the ASCII
+# separator controls \x1c-\x1f, Go does not.
+import re as _re
+
+_GO_WS = "\t\n\v\f\r \x85\xa0\u1680\u2000\u2001\u2002\u2003\u2004\u2005" \
+    "\u2006\u2007\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+_GO_WS_RX = _re.compile("[" + _GO_WS + "]+")
+
+
+def _go_trim_space(s: str) -> str:
+    return s.strip(_GO_WS)
+
+
 def parse_ntriple(line: str) -> Triple:
     """Parse one N-Triples line exactly as the reference does
     (common.go:41-66). Deliberately simplistic; quirks are load-bearing
@@ -117,8 +132,8 @@ def parse_ntriple(line: str) -> Triple:
     - every field is trimmed of any mix of ``<``, ``>``, ``"`` from both
       ends only (inner occurrences survive, so typed literals mangle).
     """
-    line = line.strip()
-    words = line.split()
+    line = _go_trim_space(line)
+    words = [w for w in _GO_WS_RX.split(line) if w]
     if len(words) < 3:
         rendered = "[" + " ".join(words) + "]"
         raise BrokenInputError(f"broken input: {rendered}")

@@ -1,0 +1,123 @@
+"""The flagship knowledge-graph-construction pipeline:
+
+    transcripts (Parquet / synthesized)
+      → MentionDetector   (actor pool, batched)
+      → EntityLinker      (actor pool, broadcast gazetteer)
+      → emit_triples      (stateless, row-expanding, vectorized)
+      → PrefixCut         (ntto core: longest-prefix-match, vectorized)
+      → canonicalize      (map-side partial dedup + one hash shuffle)
+      → materialize       (sorted bucket-partitioned Parquet + NDJSON)
+
+Everything is one lazy Ray Data topology — the streaming executor
+pipelines blocks through all stages with backpressure; nothing
+materializes the full dataset mid-flight.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray
+import ray.data
+
+from ntto_ray.core import Rule, default_rules
+from ntto_ray.functions import kgspec as K
+from ntto_ray.sources.transcripts import read_transcripts, synth_transcripts
+from ntto_ray.stages.canonicalize import canonicalize, degree_by_subject
+from ntto_ray.stages.extract import EntityLinker, MentionDetector, emit_triples
+from ntto_ray.stages.materialize import write_adjacency, write_ndjson
+from ntto_ray.stages.prefix import PrefixCut
+
+
+def pipeline_rules() -> list[Rule]:
+    """Default rule table + the pipeline's own namespaces (kgspec.EXTRA_RULES)."""
+    return default_rules() + [Rule(shortcut=s, prefix=p) for s, p in K.EXTRA_RULES]
+
+
+def rules_as_tuples(rules: list[Rule]) -> list[tuple[str, str]]:
+    return [(r.shortcut, r.prefix) for r in rules]
+
+
+@dataclass
+class KGConfig:
+    detector_concurrency: int | tuple[int, int] = (1, 8)
+    linker_concurrency: int | tuple[int, int] = (1, 8)
+    batch_size: int = 8192
+    prefix_mode: str = "anchored"
+    rules: list[Rule] = field(default_factory=pipeline_rules)
+
+
+def extract_triples(
+    transcripts: ray.data.Dataset, cfg: KGConfig | None = None
+) -> ray.data.Dataset:
+    """transcripts → triples_raw (subj, pred, obj, conv_id, turn_idx)."""
+    cfg = cfg or KGConfig()
+    aliases_ref = ray.put(dict(K.ALIASES))  # broadcast once, read per actor
+    annotated = transcripts.map_batches(
+        MentionDetector,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.detector_concurrency,
+    ).map_batches(
+        EntityLinker,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.linker_concurrency,
+        fn_constructor_kwargs={"aliases_ref": aliases_ref},
+    )
+    return annotated.map_batches(emit_triples, batch_format="pyarrow")
+
+
+def abbreviate(
+    triples: ray.data.Dataset, cfg: KGConfig | None = None
+) -> ray.data.Dataset:
+    cfg = cfg or KGConfig()
+    return triples.map_batches(
+        PrefixCut,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, 8),
+        fn_constructor_kwargs={
+            "rules": rules_as_tuples(cfg.rules),
+            "mode": cfg.prefix_mode,
+        },
+    )
+
+
+def build_graph(
+    transcripts: ray.data.Dataset, cfg: KGConfig | None = None
+) -> ray.data.Dataset:
+    """transcripts → canonical triples (subj, pred, obj, cnt). Lazy."""
+    cfg = cfg or KGConfig()
+    raw = extract_triples(transcripts, cfg)
+    abbrev = abbreviate(raw, cfg)
+    return canonicalize(abbrev)
+
+
+def run_kg_pipeline(
+    sf_dir: str,
+    out_dir: str | None = None,
+    cfg: KGConfig | None = None,
+    *,
+    synthesize: bool = True,
+    write: bool = False,
+) -> ray.data.Dataset:
+    """End-to-end: source → canonical triples; optionally materialize
+    adjacency Parquet + NDJSON under ``out_dir``."""
+    cfg = cfg or KGConfig()
+    if synthesize:
+        transcripts = synth_transcripts(sf_dir)
+    else:
+        transcripts = read_transcripts(sf_dir)
+    canonical = build_graph(transcripts, cfg)
+    if write:
+        assert out_dir is not None
+        write_adjacency(canonical, f"{out_dir}/adjacency")
+        write_ndjson(canonical.select_columns(["subj", "pred", "obj"]).rename_columns(
+            ["subj", "pred", "obj"]
+        ), f"{out_dir}/ndjson")
+    return canonical
+
+
+def subject_degrees(canonical: ray.data.Dataset) -> ray.data.Dataset:
+    return degree_by_subject(canonical)

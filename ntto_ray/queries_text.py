@@ -1,0 +1,270 @@
+"""Dedup / text-analysis / similarity-search queries over documents and
+embeddings, plus the NT parse/render round-trip. Oracles where the
+semantics are deterministic + SQL-expressible; probabilistic ops
+(MinHash-LSH, SimHash, hyperplane LSH) are rows-only here and pinned by
+unit tests instead."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ntto_ray.registry import register
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- dedup ----------------------------------------------------------------
+
+@register(
+    "dedup_exact_keys",
+    oracle="""
+SELECT substr(text, 1, 30) AS key, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS dups
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_keys(sf_dir: str):
+    from ntto_ray.stages.dedup import exact_dedup_keys
+
+    return exact_dedup_keys(_docs(sf_dir, ["doc_id", "text"]))
+
+
+@register(
+    "dedup_exact_fulltext",
+    oracle="""
+SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS dups
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_fulltext(sf_dir: str):
+    from ntto_ray.stages.dedup import exact_dedup_fulltext
+
+    return exact_dedup_fulltext(_docs(sf_dir, ["doc_id", "text"]))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, n_chars // 50 AS bucket,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST((len(list_intersect(a.toks, b.toks)) * 100)
+            // (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            AS BIGINT) AS jaccard_pct
+FROM d a JOIN d b
+  ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 100
+      >= 90 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+""",
+)
+def dedup_jaccard_pairs(sf_dir: str):
+    from ntto_ray.stages.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text", "source", "n_chars"]), threshold_pct=90
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None)  # probabilistic — tests pin recall
+def dedup_minhash_lsh(sf_dir: str):
+    from ntto_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+@register("dedup_simhash", oracle=None)  # deterministic but not SQL-expressible
+def dedup_simhash(sf_dir: str):
+    from ntto_ray.stages.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+
+@register(
+    "dedup_cosine_pairs",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+""",
+)
+def dedup_cosine_pairs(sf_dir: str):
+    from ntto_ray.stages.ann import cosine_pairs
+
+    return cosine_pairs(_emb(sf_dir), threshold=0.4)
+
+
+# --- text analysis --------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS BIGINT)
+         AS sum_token_len
+FROM documents
+""",
+)
+def text_token_stats(sf_dir: str):
+    from ntto_ray.stages.text import token_stats
+
+    return token_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+@register(
+    "text_quality",
+    oracle="""
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       CAST(length(text) AS BIGINT) AS n_chars_obs,
+       CAST((100 * (n_tokens - n_stop)) // greatest(n_tokens, 1) AS BIGINT) AS quality_pct
+FROM (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop
+  FROM documents
+)
+""",
+)
+def text_quality(sf_dir: str):
+    from ntto_ray.stages.text import quality
+
+    return quality(_docs(sf_dir, ["doc_id", "text"]))
+
+
+@register(
+    "text_langid",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')), ['the', 'a'])) > 0
+            THEN 'en' ELSE 'unk' END AS lang_guess,
+       CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['the', 'a'])) AS BIGINT)
+         AS marker_hits
+FROM documents
+""",
+)
+def text_langid(sf_dir: str):
+    from ntto_ray.stages.text import langid
+
+    return langid(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
+@register("text_fingerprints", oracle=None)  # rolling-hash part not SQL-expressible
+def text_fingerprints(sf_dir: str):
+    from ntto_ray.stages.text import fingerprints
+
+    return fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+
+@register(
+    "text_md5",
+    oracle="SELECT doc_id, md5(text) AS md5 FROM documents",
+)
+def text_md5(sf_dir: str):
+    from ntto_ray.stages.text import fingerprints
+
+    return fingerprints(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "md5"]
+    )
+
+
+# --- similarity search ----------------------------------------------------
+
+_ANN_QUERY_IDS = (0, 1, 2)
+
+
+def _query_matrix(sf_dir: str):
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = np.isin(t["vec_id"].to_numpy(), _ANN_QUERY_IDS)
+    sub = t.filter(pa.array(mask))
+    order = np.argsort(sub["vec_id"].to_numpy())
+    ids = sub["vec_id"].to_numpy()[order]
+    m = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sub["embedding"].to_pylist()]
+    )[order]
+    return ids, m
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN {_ANN_QUERY_IDS}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id ASC
+         ) AS rank
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+)
+SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank FROM scored WHERE rank <= 10
+""",
+)
+def ann_bruteforce_topk(sf_dir: str):
+    from ntto_ray.stages.ann import brute_force_topk
+
+    ids, m = _query_matrix(sf_dir)
+    return brute_force_topk(_emb(sf_dir), ids, m, k=10)
+
+
+@register("ann_lsh_topk", oracle=None)  # approximate by design
+def ann_lsh_topk(sf_dir: str):
+    from ntto_ray.stages.ann import lsh_topk
+
+    ids, m = _query_matrix(sf_dir)
+    return lsh_topk(_emb(sf_dir), ids, m, k=10, dim=m.shape[1])
+
+
+# --- NT parse/render round-trip (the reference's -j surface) --------------
+
+@register("nt_roundtrip", oracle=None)
+def nt_roundtrip(sf_dir: str):
+    """canonical triples → NT lines → quirky parse → (subj, pred, obj);
+    identity on bracket-free IRIs, so the oracle is the canonical SQL."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.ntparse import parse_nt_batch, render_nt_batch
+
+    canonical = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+    lines = canonical.map_batches(render_nt_batch, batch_format="pyarrow")
+    lines = lines.map_batches(
+        lambda t: t.rename_columns(["text"]), batch_format="pyarrow"
+    )
+    return lines.map_batches(parse_nt_batch, batch_format="pyarrow")
+
+
+def _late_oracles():
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.registry import _ORACLES
+
+    from ntto_ray.pipelines.kg import pipeline_rules
+
+    canon = K.triples_canonical_sql(pipeline_rules())
+    _ORACLES["nt_roundtrip"] = f"WITH canon AS ({canon}) SELECT subj, pred, obj FROM canon"
+
+
+_late_oracles()

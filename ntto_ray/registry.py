@@ -1,0 +1,52 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+``sf_dir -> result`` callable, with a DuckDB oracle where the semantics
+are SQL-expressible (the driver's correctness gate). Non-SQL ops
+(probabilistic sketches, model scoring) appear in ``queries()`` only.
+
+Grouped:
+  kg_*        — the flagship KG-construction pipeline, stage by stage
+  rel_*       — relational engine operators over the TPC-H-ish tables
+  dedup_*     — deduplication suite over documents
+  text_*      — text-analysis suite over documents
+  ann_*       — similarity search over embeddings
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+_QUERIES: dict[str, Callable[[str], Any]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    _load()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load():
+    global _LOADED
+    if _LOADED:
+        return
+    from ntto_ray import queries_kg, queries_rel, queries_text  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,90 @@
+"""Canonicalization: exact dedup of (subj, pred, obj) with provenance
+counts — the wide (shuffle) step of the KG pipeline.
+
+Two-phase design for scale (SURVEY.md §4.3):
+
+1. **Map-side partial dedup** (``local_dedup_batch``): within every batch,
+   collapse duplicate triples and keep a partial count — a pyarrow
+   ``Table.group_by`` (C++ hash aggregate, no Python rows). On
+   conversational data this removes the bulk of repetition (hot
+   structural/entity triples recur in every turn) BEFORE any data moves.
+
+2. **One hash shuffle**: ``groupby(["subj","pred","obj"]).sum(cnt)`` over
+   the pre-deduped remainder. The shuffle key is the full triple, so hot
+   *subjects* (the skew the north-star calls out) do NOT skew partitions —
+   a hot subject's triples differ in pred/obj and hash apart. Salting is
+   therefore only needed for subject-keyed aggregates (see
+   ``degree_by_subject`` which demonstrates the salted two-phase pattern).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+TRIPLE_KEY = ["subj", "pred", "obj"]
+
+
+def local_dedup_batch(batch: pa.Table) -> pa.Table:
+    """Partial (map-side) dedup+count within one batch. Emits columns
+    subj, pred, obj, cnt — cnt is the within-batch multiplicity."""
+    cols = [c for c in TRIPLE_KEY if c in batch.column_names]
+    out = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+    return out.rename_columns(cols + ["cnt"])
+
+
+def canonicalize(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """triples (possibly with lineage cols) → canonical distinct triples
+    with total multiplicity ``cnt``. One all-to-all shuffle, preceded by
+    map-side combining."""
+    partial = ds.map_batches(local_dedup_batch, batch_format="pyarrow")
+    agg = partial.groupby(TRIPLE_KEY).aggregate(Sum("cnt", alias_name="cnt"))
+    return agg
+
+
+def distinct_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Canonical triples without the count column."""
+    return canonicalize(ds).select_columns(TRIPLE_KEY)
+
+
+# --- salted subject aggregate (hot-key pattern) ---------------------------
+
+_SALT_BUCKETS = 16
+
+
+def _add_salt(batch: pa.Table, *, buckets: int) -> pa.Table:
+    # cheap deterministic salt: hash of obj via string length + first byte
+    # is NOT uniform enough; use a proper per-row hash of the full triple.
+    import pandas as pd
+    import numpy as np
+
+    key = pc.binary_join_element_wise(
+        batch["pred"], batch["obj"], "\x1f"
+    )
+    h = pd.util.hash_array(np.asarray(key.to_numpy(zero_copy_only=False), dtype=object))
+    return batch.append_column("salt", pa.array((h % buckets).astype("int64")))
+
+
+def degree_by_subject(
+    canonical: ray.data.Dataset, *, salt_buckets: int = _SALT_BUCKETS
+) -> ray.data.Dataset:
+    """Out-degree (distinct edges) and total weight per subject, computed
+    as a SALTED two-phase aggregate: group on (subj, salt) first — hot
+    conversational subjects spread over ``salt_buckets`` partitions — then
+    reduce the per-salt partials with a second, tiny groupby on subj.
+
+    Columns: subj, degree (distinct triples), weight (sum of cnt).
+    """
+    salted = canonical.map_batches(
+        _add_salt, batch_format="pyarrow", fn_kwargs={"buckets": salt_buckets}
+    )
+    phase1 = salted.groupby(["subj", "salt"]).aggregate(
+        Count(alias_name="degree"), Sum("cnt", alias_name="weight")
+    )
+    phase2 = phase1.groupby("subj").aggregate(
+        Sum("degree", alias_name="degree"), Sum("weight", alias_name="weight")
+    )
+    return phase2

@@ -1,0 +1,166 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` columns
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode kernels themselves are STUBBED (no image/audio libs in this
+container): ``DecodeImage`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (shape/bytes
+derived from the payload hash) exercises the full Ray-side plumbing —
+schema, batch sizing, actor signature, output layout — which is real and
+tested.
+
+Scale notes baked into the design:
+- binary payloads make blocks heavy → callers should use small
+  ``batch_size`` (e.g. 64) and bounded ``concurrency`` so
+  batch × concurrency fits worker heaps;
+- outputs carry fixed-size feature vectors (list<float>) + metadata, not
+  the raw payload, so downstream stages are light.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synth_media(sf_dir: str, *, per_event: int = 1) -> ray.data.Dataset:
+    """Deterministic fake media table derived from the events table:
+    payload bytes are a hash-expansion of the event id (stable across
+    runs). Stands in for a real binary-column Parquet source."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        kinds = np.array(["image", "audio", "video"], dtype=object)[ids % 3]
+        payloads = [
+            hashlib.blake2b(int(i).to_bytes(8, "little"), digest_size=32).digest()
+            * (4 + int(i) % 4)
+            for i in ids
+        ]
+        mimes = np.array(["image/png", "audio/wav", "video/mp4"], dtype=object)[ids % 3]
+        w = (64 + (ids % 8) * 32).astype(np.int32)
+        h = (64 + (ids % 5) * 32).astype(np.int32)
+        dur = ((ids % 30) * 1000).astype(np.int32)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids),
+                pa.array(kinds, type=pa.string()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array(mimes, type=pa.string()),
+                pa.array(w, type=pa.int32()),
+                pa.array(h, type=pa.int32()),
+                pa.array(dur, type=pa.int32()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(mk, batch_format="pyarrow")
+
+
+class DecodeImage:
+    """Actor-pool decode stage. Real decode requires an image library
+    (absent here) — ``fake=True`` substitutes a deterministic
+    hash-derived pixel-statistics extractor with the same interface.
+
+    Output: media_id, width, height, feature (list<float>[8])."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode requires PIL/cv2 (not in this container); "
+                "construct with fake=True for the deterministic stub"
+            )
+        feats = []
+        for payload in t["payload"].to_pylist():
+            h = hashlib.blake2b(payload, digest_size=32).digest()
+            feats.append(np.frombuffer(h, dtype=np.uint8)[:8].astype(np.float32) / 255.0)
+        return pa.Table.from_arrays(
+            [
+                t["media_id"],
+                t["width"],
+                t["height"],
+                pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32())),
+            ],
+            names=["media_id", "width", "height", "feature"],
+        )
+
+
+class FrameSampler:
+    """Video frame-sampling stage (stub): emits one row per sampled frame
+    timestamp (``fps`` over duration) with a deterministic frame-hash id —
+    demonstrating the row-expanding media pattern."""
+
+    def __init__(self, fps: float = 1.0):
+        self.fps = fps
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_id, out_ts, out_fh = [], [], []
+        for mid, kind, dur, payload in zip(
+            t["media_id"].to_pylist(),
+            t["kind"].to_pylist(),
+            t["duration_ms"].to_pylist(),
+            t["payload"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            n = max(1, int(dur / 1000 * self.fps))
+            for i in range(n):
+                ts = int(i * 1000 / self.fps)
+                fh = hashlib.blake2b(
+                    payload + ts.to_bytes(8, "little"), digest_size=8
+                ).digest()
+                out_id.append(mid)
+                out_ts.append(ts)
+                out_fh.append(int.from_bytes(fh, "little") >> 1)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.array(out_id, dtype=np.int64)),
+                pa.array(np.array(out_ts, dtype=np.int64)),
+                pa.array(np.array(out_fh, dtype=np.int64)),
+            ],
+            names=["media_id", "frame_ts_ms", "frame_hash"],
+        )
+
+
+def decode_features(media: ray.data.Dataset, *, fake: bool = True) -> ray.data.Dataset:
+    """Image-decode feature extraction over the media table. Small batches
+    + bounded actor pool: binary payloads are heavy."""
+    imgs = media.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "image")),
+        batch_format="pyarrow",
+    )
+    return imgs.map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"fake": fake},
+    )
+
+
+def sample_frames(media: ray.data.Dataset, *, fps: float = 1.0) -> ray.data.Dataset:
+    return media.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"fps": fps},
+    )
