@@ -1,0 +1,143 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``
+and print ONE JSON line.
+
+``--scaling``: run the headline KG pipeline in two fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs
+plus scaling efficiency (the sandbox stand-in for the N vs 4N-node
+cluster criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# corpus amplification for the headline pipeline (distinct conversations,
+# same distribution): sf0.1 has 5000 docs → REPLICATE×5000 convs ×6 turns
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "16"))
+
+
+def _warm_cache():
+    # one untimed pass so we measure compute+shuffle, not first disk read
+    import glob
+
+    for p in glob.glob(f"{SF_DIR}/*.parquet"):
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    _warm_cache()
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.materialize import write_adjacency, write_ndjson
+
+    out_dir = "/tmp/ntto_ray_bench"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    timings: dict[str, float] = {}
+
+    # headline: KG end-to-end incl. materialize (extract → prefix-cut →
+    # canonicalize → sorted partitioned parquet + NDJSON)
+    t0 = time.time()
+    canonical = run_kg_pipeline(SF_DIR, replicate=REPLICATE).materialize()
+    n_triples_in = canonical.select_columns(["cnt"]).sum("cnt")
+    n_canonical = canonical.count()
+    write_adjacency(canonical, f"{out_dir}/adjacency")
+    write_ndjson(canonical.select_columns(["subj", "pred", "obj"]), f"{out_dir}/ndjson")
+    headline = time.time() - t0
+    timings["kg_end_to_end"] = headline
+
+    # secondary pipelines
+    from ntto_ray import registry
+
+    q = registry.queries()
+    for name in (
+        "rel_q1_pricing",
+        "rel_segment_sales",
+        "rel_events_hourly",
+        "dedup_exact_fulltext",
+        "dedup_minhash_lsh",
+        "text_token_stats",
+        "ann_bruteforce_topk",
+    ):
+        t0 = time.time()
+        res = q[name](SF_DIR)
+        # consume without driver materialization of big data
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = time.time() - t0
+
+    result = {
+        "metric": "kg pipeline end-to-end seconds (extract→prefix-cut→canonicalize→materialize)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicate": REPLICATE,
+        "raw_triples": int(n_triples_in),
+        "canonical_triples": int(n_canonical),
+        "raw_triples_per_sec": round(n_triples_in / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (8→32 cpus, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "tput_8": r_lo["raw_triples_per_sec"],
+        "tput_32": r_hi["raw_triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

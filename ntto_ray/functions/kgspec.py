@@ -42,6 +42,10 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 P_HAS_TURN = ONT + "hasTurn"
 P_MENTIONS = ONT + "mentions"
 P_MENTIONS_ENTITY = ONT + "mentionsEntity"
+# conversation-level edge, emitted once per mentioning TURN — so the same
+# (conv, discusses, entity) triple recurs across turns and the
+# canonicalize shuffle has real multiplicities to collapse (cnt > 1)
+P_DISCUSSES = ONT + "discusses"
 
 # Entity-linker gazetteer: token → canonical IRI. Tokens are drawn from the
 # synthetic documents' vocabulary; chosen so no alias is a proper
@@ -133,6 +137,10 @@ linked AS (
 SELECT * FROM structural
 UNION ALL SELECT * FROM mentions
 UNION ALL SELECT * FROM linked
+UNION ALL SELECT '{CONV_NS}' || conv_id AS subj, '{P_DISCUSSES}' AS pred,
+       obj, conv_id, turn_idx FROM mentions
+UNION ALL SELECT '{CONV_NS}' || conv_id AS subj, '{P_DISCUSSES}' AS pred,
+       obj, conv_id, turn_idx FROM linked
 """.strip()
 
 

@@ -101,12 +101,13 @@ def run_kg_pipeline(
     *,
     synthesize: bool = True,
     write: bool = False,
+    replicate: int = 1,
 ) -> ray.data.Dataset:
     """End-to-end: source → canonical triples; optionally materialize
     adjacency Parquet + NDJSON under ``out_dir``."""
     cfg = cfg or KGConfig()
     if synthesize:
-        transcripts = synth_transcripts(sf_dir)
+        transcripts = synth_transcripts(sf_dir, replicate=replicate)
     else:
         transcripts = read_transcripts(sf_dir)
     canonical = build_graph(transcripts, cfg)

@@ -128,13 +128,44 @@ def synth_transcript_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def synth_transcripts(sf_dir: str, *, concurrency: int | None = None) -> ray.data.Dataset:
+_REPLICATE_STRIDE = 10_000_000
+
+
+def _replicate_docs(batch: pa.Table, *, copies: int) -> pa.Table:
+    """Deterministic corpus amplification for benchmarks: each document
+    appears ``copies`` times with doc_id offset by r*STRIDE, producing
+    distinct conversations with identical text distribution. Vectorized
+    (concat of shifted id columns)."""
+    if copies <= 1:
+        return batch
+    parts = []
+    ids = batch["doc_id"]
+    for r in range(copies):
+        parts.append(
+            batch.set_column(
+                batch.column_names.index("doc_id"),
+                "doc_id",
+                pc.add(ids, pa.scalar(r * _REPLICATE_STRIDE, pa.int64())),
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def synth_transcripts(
+    sf_dir: str, *, replicate: int = 1, concurrency: int | None = None
+) -> ray.data.Dataset:
     """Read ``{sf_dir}/documents.parquet`` (pruned to the 4 needed columns)
-    and expand to the deterministic transcripts table."""
+    and expand to the deterministic transcripts table. ``replicate`` > 1
+    amplifies the corpus for benchmarking (distinct conv_ids, same
+    distribution); correctness queries always use replicate=1."""
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     )
+    if replicate > 1:
+        docs = docs.map_batches(
+            _replicate_docs, batch_format="pyarrow", fn_kwargs={"copies": replicate}
+        )
     return docs.map_batches(
         synth_transcript_batch, batch_format="pyarrow", zero_copy_batch=True
     )

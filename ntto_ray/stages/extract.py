@@ -136,7 +136,9 @@ def emit_triples(batch: pa.Table) -> pa.Table:
     parts.append(
         mk(turn_iri, K.RDF_TYPE, _concat(pa.scalar(K.ONT), role), conv_id, turn_idx)
     )
-    # 3 & 4. flatten list columns
+    # 3 & 4. flatten list columns; 5. conversation-level discusses edges
+    # (same flatten, conv subject) — these recur across turns, giving the
+    # canonicalize shuffle real multiplicities (kgspec.P_DISCUSSES)
     for col, pred in (
         ("iri_mentions", K.P_MENTIONS),
         ("entity_mentions", K.P_MENTIONS_ENTITY),
@@ -148,14 +150,9 @@ def emit_triples(batch: pa.Table) -> pa.Table:
         if len(flat) == 0:
             continue
         parent = pc.list_parent_indices(lst)
-        parts.append(
-            mk(
-                turn_iri.take(parent),
-                pred,
-                flat,
-                conv_id.take(parent),
-                turn_idx.take(parent),
-            )
-        )
+        cid = conv_id.take(parent)
+        tix = turn_idx.take(parent)
+        parts.append(mk(turn_iri.take(parent), pred, flat, cid, tix))
+        parts.append(mk(conv_iri.take(parent), K.P_DISCUSSES, flat, cid, tix))
 
     return pa.concat_tables(parts)

@@ -1,0 +1,82 @@
+"""Dedup suite: planted near-duplicates must be found (MinHash-LSH
+recall), SimHash locality, exact dedup correctness."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _corpus():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark stream "
+        "merges the hash window vector batch data line"
+    )
+    near = base.replace("lazy", "sleepy")  # one token changed
+    far = "completely different content about databases and columns and rows galore"
+    rows = [
+        {"doc_id": 1, "text": base, "source": "s0", "n_chars": len(base)},
+        {"doc_id": 2, "text": near, "source": "s0", "n_chars": len(near)},
+        {"doc_id": 3, "text": far, "source": "s0", "n_chars": len(far)},
+        {"doc_id": 4, "text": base, "source": "s0", "n_chars": len(base)},  # exact dup
+    ]
+    return rows
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_items(_corpus())
+
+
+def test_minhash_finds_planted_neardups(docs_ds):
+    from ntto_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 4) in found  # exact dup: estimated jaccard = 1
+    assert (1, 2) in found or (2, 4) in found  # near dup
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_minhash_signature_deterministic():
+    from ntto_ray.stages.dedup import MinHasher
+
+    a = MinHasher().signature("the quick brown fox")
+    b = MinHasher().signature("the quick brown fox")
+    assert (a == b).all()
+
+
+def test_simhash_locality():
+    from ntto_ray.stages.dedup import SimHasher
+
+    sh = SimHasher()
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    fp1 = sh.fingerprint(base)
+    fp2 = sh.fingerprint(base.replace("lazy", "sleepy"))
+    fp3 = sh.fingerprint("utterly unrelated words entirely elsewhere")
+    ham12 = bin(fp1 ^ fp2).count("1")
+    ham13 = bin(fp1 ^ fp3).count("1")
+    assert ham12 < ham13
+    assert ham12 <= 16
+
+
+def test_exact_dedup_fulltext(docs_ds):
+    from ntto_ray.stages.dedup import exact_dedup_fulltext
+
+    out = exact_dedup_fulltext(docs_ds).to_pandas()
+    # 3 distinct texts; the duplicated one keeps doc_id 1 with dups=2
+    assert len(out) == 3
+    dup_row = out[out["dups"] == 2]
+    assert list(dup_row["doc_id"]) == [1]
+
+
+def test_jaccard_pairs_planted(docs_ds):
+    from ntto_ray.stages.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(docs_ds, threshold_pct=80).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 4) in found
+    assert (1, 2) in found
+    assert (1, 3) not in found

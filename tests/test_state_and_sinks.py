@@ -1,0 +1,147 @@
+"""Checkpoint/resume, materialize sinks, multimodal plumbing, ANN."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import ray.data
+
+    from ntto_ray.state.checkpoint import run_partitioned
+
+    calls = []
+
+    def make(pid: int, n: int):
+        calls.append(pid)
+        return ray.data.range(100).map_batches(
+            lambda b: {"id": b["id"], "part": np.full(len(b["id"]), pid)},
+            batch_format="numpy",
+        )
+
+    out = str(tmp_path / "ckpt")
+    r1 = run_partitioned(
+        num_partitions=3, out_dir=out, make_partition_ds=make, fingerprint="fp1"
+    )
+    assert [r.skipped for r in r1] == [False] * 3
+    assert all(r.rows == 100 for r in r1)
+    assert calls == [0, 1, 2]
+
+    # resume: nothing re-runs
+    r2 = run_partitioned(
+        num_partitions=3, out_dir=out, make_partition_ds=make, fingerprint="fp1"
+    )
+    assert [r.skipped for r in r2] == [True] * 3
+    assert calls == [0, 1, 2]
+
+    # changed input fingerprint: everything re-runs
+    r3 = run_partitioned(
+        num_partitions=3, out_dir=out, make_partition_ds=make, fingerprint="fp2"
+    )
+    assert [r.skipped for r in r3] == [False] * 3
+
+    # manifest is lineage: one line per committed partition
+    with open(os.path.join(out, "MANIFEST.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert len(recs) == 6
+    assert {r["fingerprint"] for r in recs} == {"fp1", "fp2"}
+
+
+def test_write_ndjson_and_adjacency(ray_session, tmp_path):
+    import ray.data
+
+    from ntto_ray.stages.materialize import write_adjacency, write_ndjson
+
+    triples = ray.data.from_items(
+        [
+            {"subj": "a", "pred": "p", "obj": "x<y", "cnt": 2},
+            {"subj": "b", "pred": "p", "obj": "o2", "cnt": 1},
+        ]
+    )
+    nd_dir = str(tmp_path / "nd")
+    write_ndjson(triples.select_columns(["subj", "pred", "obj"]), nd_dir)
+    lines = []
+    for fn in os.listdir(nd_dir):
+        with open(os.path.join(nd_dir, fn)) as f:
+            lines += [line for line in f.read().splitlines() if line]
+    assert sorted(lines) == [
+        '{"s":"a","p":"p","o":"x\\u003cy"}',
+        '{"s":"b","p":"p","o":"o2"}',
+    ]
+    # Go-escaped NDJSON still parses as standard JSON
+    parsed = sorted(json.loads(line)["s"] for line in lines)
+    assert parsed == ["a", "b"]
+
+    adj_dir = str(tmp_path / "adj")
+    write_adjacency(triples, adj_dir, buckets=4)
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(adj_dir, partitioning="hive")
+    t = dset.to_table()
+    assert t.num_rows == 2
+    assert "subj_bucket" in t.column_names
+
+
+def test_multimodal_plumbing(ray_session):
+    from ntto_ray.stages.multimodal import (
+        DecodeImage,
+        decode_features,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(SF_SMALL)
+    feats = decode_features(media, fake=True).to_pandas()
+    assert set(feats.columns) == {"media_id", "width", "height", "feature"}
+    assert len(feats) > 0
+    assert all(len(f) == 8 for f in feats["feature"])
+
+    frames = sample_frames(media).to_pandas()
+    assert set(frames.columns) == {"media_id", "frame_ts_ms", "frame_hash"}
+    assert len(frames) > 0
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)(
+            pa.table(
+                {
+                    "media_id": [1],
+                    "payload": [b"x"],
+                    "width": [1],
+                    "height": [1],
+                }
+            )
+        )
+
+
+def test_ann_lsh_subset_of_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ntto_ray.stages.ann import brute_force_topk, lsh_topk
+
+    emb = ray.data.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()[:2]
+    m = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()[:2]]).astype(
+        np.float64
+    )
+
+    bf = brute_force_topk(emb, ids, m, k=10).to_pandas()
+    assert set(bf.columns) == {"qid", "vec_id", "rank"}
+    assert (bf.groupby("qid")["rank"].max() == 10).all()
+
+    lsh = lsh_topk(emb, ids, m, k=10, dim=m.shape[1], nbits=4).to_pandas()
+    assert len(lsh) > 0
+    # LSH results rank by true cosine, so rank-1 per query must agree with
+    # brute force IF the true top-1 shares the query's bucket; weaker
+    # invariant that always holds: every LSH neighbor appears somewhere in
+    # the corpus and ranks are contiguous from 1
+    for qid, g in lsh.groupby("qid"):
+        assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
