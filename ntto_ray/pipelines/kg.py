@@ -38,20 +38,41 @@ def rules_as_tuples(rules: list[Rule]) -> list[tuple[str, str]]:
     return [(r.shortcut, r.prefix) for r in rules]
 
 
+def _pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the session: min 1 (never
+    deadlock on a small session), max ≈ half the CPUs per pool so the
+    three pools + task stages share the node without starving each
+    other."""
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(2, cpus // 2))
+
+
 @dataclass
 class KGConfig:
-    detector_concurrency: int | tuple[int, int] = (1, 8)
-    linker_concurrency: int | tuple[int, int] = (1, 8)
+    detector_concurrency: int | tuple[int, int] | None = None
+    linker_concurrency: int | tuple[int, int] | None = None
+    prefix_concurrency: int | tuple[int, int] | None = None
     batch_size: int = 8192
     prefix_mode: str = "anchored"
     rules: list[Rule] = field(default_factory=pipeline_rules)
+
+    def pools(self) -> "KGConfig":
+        if self.detector_concurrency is None:
+            self.detector_concurrency = _pool()
+        if self.linker_concurrency is None:
+            self.linker_concurrency = _pool()
+        if self.prefix_concurrency is None:
+            self.prefix_concurrency = _pool()
+        return self
 
 
 def extract_triples(
     transcripts: ray.data.Dataset, cfg: KGConfig | None = None
 ) -> ray.data.Dataset:
     """transcripts → triples_raw (subj, pred, obj, conv_id, turn_idx)."""
-    cfg = cfg or KGConfig()
+    cfg = (cfg or KGConfig()).pools()
     aliases_ref = ray.put(dict(K.ALIASES))  # broadcast once, read per actor
     annotated = transcripts.map_batches(
         MentionDetector,
@@ -71,12 +92,12 @@ def extract_triples(
 def abbreviate(
     triples: ray.data.Dataset, cfg: KGConfig | None = None
 ) -> ray.data.Dataset:
-    cfg = cfg or KGConfig()
+    cfg = (cfg or KGConfig()).pools()
     return triples.map_batches(
         PrefixCut,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, 8),
+        concurrency=cfg.prefix_concurrency,
         fn_constructor_kwargs={
             "rules": rules_as_tuples(cfg.rules),
             "mode": cfg.prefix_mode,

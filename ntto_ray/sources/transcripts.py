@@ -162,6 +162,15 @@ def synth_transcripts(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     )
+    # The documents table arrives as very few blocks (one small file), but
+    # each doc fans out ×TURNS_PER_CONV×replicate downstream — split the
+    # small side BEFORE the expansion so every core gets work. (A real
+    # 100 TB transcripts input is already many files/row-groups and skips
+    # this: read_transcripts below.)
+    import ray as _ray
+
+    cpus = int(_ray.available_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    docs = docs.repartition(max(cpus * 2, 16))
     if replicate > 1:
         docs = docs.map_batches(
             _replicate_docs, batch_format="pyarrow", fn_kwargs={"copies": replicate}

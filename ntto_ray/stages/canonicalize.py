@@ -36,11 +36,25 @@ def local_dedup_batch(batch: pa.Table) -> pa.Table:
     return out.rename_columns(cols + ["cnt"])
 
 
+def _shuffle_parallelism() -> int:
+    """Target block count for wide ops: Ray's sort-shuffle map side is
+    per-block, so a handful of large blocks serializes the shuffle
+    (measured: 1 block = 130 s vs 64 blocks = 9 s for the same 700k
+    rows). Keep ≥ 2×CPUs blocks going into any groupby/sort."""
+    import ray as _ray
+
+    if _ray.is_initialized():
+        return max(16, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+    return 16
+
+
 def canonicalize(ds: ray.data.Dataset) -> ray.data.Dataset:
     """triples (possibly with lineage cols) → canonical distinct triples
     with total multiplicity ``cnt``. One all-to-all shuffle, preceded by
-    map-side combining."""
+    map-side combining and an explicit block split (see
+    :func:`_shuffle_parallelism`)."""
     partial = ds.map_batches(local_dedup_batch, batch_format="pyarrow")
+    partial = partial.repartition(_shuffle_parallelism())
     agg = partial.groupby(TRIPLE_KEY).aggregate(Sum("cnt", alias_name="cnt"))
     return agg
 
@@ -81,6 +95,7 @@ def degree_by_subject(
     salted = canonical.map_batches(
         _add_salt, batch_format="pyarrow", fn_kwargs={"buckets": salt_buckets}
     )
+    salted = salted.repartition(_shuffle_parallelism())
     phase1 = salted.groupby(["subj", "salt"]).aggregate(
         Count(alias_name="degree"), Sum("cnt", alias_name="weight")
     )

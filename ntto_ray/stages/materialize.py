@@ -128,5 +128,7 @@ def write_adjacency(
         _add_subj_bucket, batch_format="pyarrow", fn_kwargs={"buckets": buckets}
     )
     if sort:
-        ds = ds.sort("subj")
+        from ntto_ray.stages.canonicalize import _shuffle_parallelism
+
+        ds = ds.repartition(_shuffle_parallelism()).sort("subj")
     ds.write_parquet(path, partition_cols=["subj_bucket"])
