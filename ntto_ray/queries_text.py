@@ -240,6 +240,14 @@ def ann_lsh_topk(sf_dir: str):
     return lsh_topk(_emb(sf_dir), ids, m, k=10, dim=m.shape[1])
 
 
+@register("ann_ivf_topk", oracle=None)  # approximate by design
+def ann_ivf_topk(sf_dir: str):
+    from ntto_ray.stages.ann import ivf_topk
+
+    ids, m = _query_matrix(sf_dir)
+    return ivf_topk(_emb(sf_dir), ids, m, k=10)
+
+
 # --- NT parse/render round-trip (the reference's -j surface) --------------
 
 @register("nt_roundtrip", oracle=None)

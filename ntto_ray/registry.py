@@ -47,6 +47,6 @@ def _load():
     global _LOADED
     if _LOADED:
         return
-    from ntto_ray import queries_kg, queries_rel, queries_text  # noqa: F401
+    from ntto_ray import queries_kg, queries_media, queries_rel, queries_text  # noqa: F401
 
     _LOADED = True

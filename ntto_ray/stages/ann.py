@@ -188,6 +188,103 @@ def lsh_topk(
     return cands.groupby("qid").map_groups(reduce_group, batch_format="pandas")
 
 
+def _kmeans(sample: np.ndarray, k: int, *, iters: int = 10, seed: int = 3) -> np.ndarray:
+    """Tiny deterministic k-means (cosine/spherical): trains the IVF
+    coarse quantizer on a driver-side sample. The sample is small by
+    design (≤ a few thousand rows); the full corpus never leaves the
+    cluster."""
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+) -> ray.data.Dataset:
+    """IVF-style approximate top-k: a coarse quantizer (spherical k-means
+    over a driver-side sample) partitions the corpus into ``nlist``
+    inverted lists; each query scores only vectors whose nearest centroid
+    is among its ``nprobe`` closest centroids. Centroids are broadcast
+    once (``ray.put``); assignment + scoring are batch matmuls. Same
+    output shape as :func:`brute_force_topk`; recall < 1 by design
+    (pinned vs brute force in tests).
+
+    Scale path: nlist grows ~sqrt(corpus); the map side emits only
+    batch-local top-k candidates per query, so the final per-qid
+    reduction stays tiny regardless of corpus size."""
+    sample = embeddings.limit(train_sample).to_pandas()
+    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cent = _kmeans(sm, nlist)
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    # per-query probed centroid sets
+    order = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    ref = ray.put(
+        (np.asarray(query_ids, dtype=np.int64), qm, cent, order)
+    )
+
+    class IVFScore:
+        def __init__(self, ref, k):
+            self.qids, self.qm, self.cent, self.probe = ray.get(ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(t))
+            assign = np.argmax(m @ self.cent.T, axis=1)
+            vec_ids = t["vec_id"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(assign, self.probe[qi])
+                if not mask.any():
+                    continue
+                row = m[mask] @ self.qm[qi]
+                vids = vec_ids[mask]
+                kk = min(self.k + 1, len(row))
+                top = np.argpartition(-row, kk - 1)[:kk]
+                for j in top:
+                    if vids[j] != qid:
+                        out_q.append(qid)
+                        out_v.append(int(vids[j]))
+                        out_s.append(float(row[j]))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(np.array(out_q, dtype=np.int64)),
+                    pa.array(np.array(out_v, dtype=np.int64)),
+                    pa.array(np.array(out_s, dtype=np.float64)),
+                ],
+                names=["qid", "vec_id", "sim"],
+            )
+
+    cands = embeddings.map_batches(
+        IVFScore,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": ref, "k": k},
+    )
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "vec_id", "rank"]]
+
+    return cands.groupby("qid").map_groups(reduce_group, batch_format="pandas")
+
+
 def cosine_pairs(
     embeddings: ray.data.Dataset, *, threshold: float = 0.4
 ) -> ray.data.Dataset:

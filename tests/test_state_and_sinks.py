@@ -145,3 +145,45 @@ def test_ann_lsh_subset_of_bruteforce(ray_session):
     # the corpus and ranks are contiguous from 1
     for qid, g in lsh.groupby("qid"):
         assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_ann_ivf_recall_vs_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ntto_ray.stages.ann import brute_force_topk, ivf_topk
+
+    emb = ray.data.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()[:3]
+    m = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()[:3]]).astype(
+        np.float64
+    )
+
+    bf = brute_force_topk(emb, ids, m, k=10).to_pandas()
+    ivf = ivf_topk(emb, ids, m, k=10, nlist=8, nprobe=4).to_pandas()
+    assert set(ivf.columns) == {"qid", "vec_id", "rank"}
+    # ranks contiguous from 1 per query
+    for qid, g in ivf.groupby("qid"):
+        assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
+    # probing half the lists must recover a solid fraction of true top-10
+    hits = tot = 0
+    for qid in ids:
+        truth = set(bf.loc[bf.qid == qid, "vec_id"])
+        got = set(ivf.loc[ivf.qid == qid, "vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert hits / tot >= 0.5, f"IVF recall {hits}/{tot} too low"
+
+
+def test_media_frame_sampler_hash_deterministic(ray_session):
+    from ntto_ray.stages.multimodal import sample_frames, synth_media
+
+    a = sample_frames(synth_media(SF_SMALL), fps=1.0).to_pandas()
+    b = sample_frames(synth_media(SF_SMALL), fps=1.0).to_pandas()
+    key = ["media_id", "frame_ts_ms"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["frame_hash"] >= 0).all()
