@@ -136,6 +136,9 @@ def _replicate_docs(batch: pa.Table, *, copies: int) -> pa.Table:
     appears ``copies`` times with doc_id offset by r*STRIDE, producing
     distinct conversations with identical text distribution. Vectorized
     (concat of shifted id columns)."""
+    # parquet-read batches carry pandas schema metadata (a dict) that Ray's
+    # shuffle cannot hash for schema dedup — strip it before fan-out
+    batch = batch.replace_schema_metadata(None)
     if copies <= 1:
         return batch
     parts = []
@@ -161,6 +164,14 @@ def synth_transcripts(
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
+    )
+    # strip pandas schema metadata (a dict) before the repartition below:
+    # Ray's shuffle can't hash metadata-bearing schemas for dedup and logs
+    # a warning per block
+    docs = docs.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     # The documents table arrives as very few blocks (one small file), but
     # each doc fans out ×TURNS_PER_CONV×replicate downstream — split the
