@@ -68,6 +68,8 @@ class CompiledRules:
                 q = q[:-1]
         self.parent = parent
         self._prefixes_u = self.prefixes.astype("U")
+        self._prefix_list = list(self.prefixes)
+        self._max_plen = int(self.plens.max()) if len(self.plens) else 0
 
     def match(self, values: np.ndarray) -> np.ndarray:
         """Vectorized longest-prefix match. ``values``: numpy str (U) array.
@@ -91,31 +93,68 @@ class CompiledRules:
             active[miss] = cand[miss] >= 0
         return result
 
+    def match_str(self, value: str) -> int:
+        """Scalar longest-prefix match (bisect + parent chain)."""
+        import bisect
+
+        c = bisect.bisect_right(self._prefix_list, value) - 1
+        while c >= 0:
+            if value.startswith(self._prefix_list[c]):
+                return c
+            c = int(self.parent[c])
+        return -1
+
     def cut_array(self, arr: pa.Array) -> pa.Array:
         """Apply anchored longest-prefix abbreviation to a string array.
-        Grouped by matched rule: one slice+concat kernel per distinct rule
-        present in the batch, over disjoint row subsets (O(n) total)."""
+
+        The match is decided by each value's first ``max_plen``
+        characters (no rule prefix is longer), so: slice heads →
+        ``dictionary_encode`` → scalar-LPM only the UNIQUE heads →
+        scatter via the dictionary indices. Namespace-shaped data has few
+        distinct heads (IRIs cluster by namespace), so the Python work is
+        O(unique heads), not O(rows); everything row-scale is an Arrow
+        kernel. The cut itself runs one slice+concat kernel per distinct
+        matched rule over disjoint row subsets, reassembled with a single
+        ``take`` (O(n) total, no per-row Python strings)."""
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        values = np.asarray(arr.to_numpy(zero_copy_only=False), dtype="U")
-        matched = self.match(values)
+        heads = pc.utf8_slice_codeunits(arr, start=0, stop=self._max_plen)
+        enc = heads.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        m_per_head = np.fromiter(
+            (self.match_str(h) for h in uniq), dtype=np.int64, count=len(uniq)
+        )
+        matched = m_per_head[
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
         if (matched < 0).all():
             return arr
+        # group rows by matched rule; unmatched (-1) come first
         order = np.argsort(matched, kind="stable")
         sorted_m = matched[order]
-        result = values.astype(object)
-        for r in np.unique(matched[matched >= 0]):
-            lo = np.searchsorted(sorted_m, r)
-            hi = np.searchsorted(sorted_m, r, side="right")
-            rows = order[lo:hi]
+        bounds = np.searchsorted(
+            sorted_m, np.arange(-1, len(self.prefixes) + 1)
+        )
+        pieces: list[pa.Array] = []
+        if bounds[1] > 0:  # unmatched subset, passed through
+            pieces.append(arr.take(pa.array(order[: bounds[1]])))
+        for r in np.unique(sorted_m[sorted_m >= 0]):
+            rows = order[bounds[r + 1] : bounds[r + 2]]
             sub = arr.take(pa.array(rows))
             cut = pc.utf8_slice_codeunits(sub, start=int(self.plens[r]))
-            repl = self.repls[r]
-            joined = pc.binary_join_element_wise(
-                pa.array([repl] * len(rows)), cut, ""
+            pieces.append(
+                pc.binary_join_element_wise(
+                    pa.array(np.full(len(rows), self.repls[r], dtype=object)),
+                    cut,
+                    "",
+                )
             )
-            result[rows] = np.asarray(joined.to_numpy(zero_copy_only=False), dtype=object)
-        return pa.array(result, type=pa.string())
+        merged = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in pieces]
+        )
+        inverse = np.empty(len(order), dtype=np.int64)
+        inverse[order] = np.arange(len(order))
+        return merged.take(pa.array(inverse))
 
     def cut_str(self, value: str) -> str:
         """Scalar convenience (tests, CLI)."""
