@@ -258,31 +258,84 @@ def minhash_lsh_pairs(
         .aggregate(Count(alias_name="nbands"))
     )
 
-    # verify: join candidate pairs back to signatures (broadcast sigs —
-    # signatures are 512B/doc; for corpora where they don't fit, swap to a
-    # partitioned join keyed on doc_id)
-    sig_df = sigs.to_pandas()
-    sig_map = {d: np.asarray(s) for d, s in zip(sig_df["doc_id"], sig_df["sig"])}
-    sig_ref = ray.put(sig_map)
+    # verify: attach each side's signature with a distributed hash join
+    # (doc_a then doc_b) — no driver-side materialization, so the verify
+    # scales with the candidate count, not the corpus. For tiny corpora a
+    # broadcast (ray.put of all signatures) would be faster, but the join
+    # is the 100 TB path.
+    from ntto_ray.stages.canonicalize import _shuffle_parallelism
+
+    nparts = _shuffle_parallelism()
+
+    def sig_to_bin(t: pa.Table) -> pa.Table:
+        # Arrow's join rejects list-typed payload columns — ship the
+        # signature as one fixed-width binary blob per doc instead
+        mat = np.stack([np.asarray(s) for s in t["sig"].to_pylist()]).astype(
+            np.uint64
+        )
+        blobs = pa.array(
+            [row.tobytes() for row in mat], type=pa.binary()
+        )
+        return pa.table({"doc_id": t["doc_id"], "sig": blobs})
+
+    # materialize each join input and the intermediate: a JoinOperator
+    # deadlocks small sessions when its aggregator actors compete with
+    # upstream operators (or a second join) for CPU slots. The barriers
+    # hold the candidate pairs (≪ corpus) and the fixed-width signature
+    # table (~0.5 KB/doc, object-store-resident and spillable) — never
+    # the documents themselves
+    sigs_bin = sigs.map_batches(sig_to_bin, batch_format="pyarrow").materialize()
+    cand = cand.materialize()
+    with_a = cand.join(
+        sigs_bin,
+        "inner",
+        num_partitions=nparts,
+        on=("doc_a",),
+        right_on=("doc_id",),
+        right_suffix="_a",
+    ).materialize()
+    with_ab = with_a.join(
+        sigs_bin,
+        "inner",
+        num_partitions=nparts,
+        on=("doc_b",),
+        right_on=("doc_id",),
+        left_suffix="_l",
+        right_suffix="_b",
+    )
 
     def verify(t: pa.Table, *, threshold=threshold) -> pa.Table:
-        smap = ray.get(sig_ref)
+        cols = t.column_names
+        sig_a_col = "sig" if "sig" in cols else ("sig_l" if "sig_l" in cols else "sig_a")
+        sig_b = "sig_b" if "sig_b" in cols else "sig_r"
         da = t["doc_a"].to_numpy()
         db = t["doc_b"].to_numpy()
-        est = np.array(
-            [float((smap[a] == smap[b]).mean()) for a, b in zip(da, db)]
-        )
+        if len(da) == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "est_jaccard_pct": pa.array([], type=pa.int64()),
+                }
+            )
+        sa = np.frombuffer(
+            b"".join(t[sig_a_col].to_pylist()), dtype=np.uint64
+        ).reshape(len(da), -1)
+        sb = np.frombuffer(
+            b"".join(t[sig_b].to_pylist()), dtype=np.uint64
+        ).reshape(len(db), -1)
+        est = (sa == sb).mean(axis=1)
         keep = est >= threshold
-        return pa.Table.from_arrays(
-            [
-                pa.array(da[keep]),
-                pa.array(db[keep]),
-                pa.array((est[keep] * 100).astype(np.int64)),
-            ],
-            names=["doc_a", "doc_b", "est_jaccard_pct"],
+        out = pa.table(
+            {
+                "doc_a": pa.array(da[keep]),
+                "doc_b": pa.array(db[keep]),
+                "est_jaccard_pct": pa.array((est[keep] * 100).astype(np.int64)),
+            }
         )
+        return out
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # --- SimHash --------------------------------------------------------------

@@ -91,3 +91,26 @@ def test_batch_equals_scalar_property(tokens):
         out["pred"][0].as_py(),
         out["obj"][0].as_py(),
     ) == (want.s, want.p, want.o)
+
+
+def test_triple_pr_vs_reference_fixtures():
+    """The north-rule gate: triple precision/recall >= 0.95 vs the
+    reference's own parser fixtures (common_test.go:185-218 cases, as
+    ported into test_core.PARSE_NT_CASES). The engine's vectorized parse
+    reproduces every quirk, so measured P/R is 1.0; this test computes
+    the number rather than assuming it."""
+    from tests.test_core import PARSE_NT_CASES
+
+    lines = [line for line, _ in PARSE_NT_CASES]
+    want = [(t.s, t.p, t.o) for _, t in PARSE_NT_CASES]
+    out = parse_nt_batch(_batch(lines))
+    got = [
+        (out["subj"][i].as_py(), out["pred"][i].as_py(), out["obj"][i].as_py())
+        for i in range(out.num_rows)
+    ]
+    tp = sum(1 for g, w in zip(got, want) if g == w)
+    precision = tp / len(got)
+    recall = tp / len(want)
+    print(f"triple P/R vs reference fixtures: P={precision:.3f} R={recall:.3f}")
+    assert precision >= 0.95 and recall >= 0.95
+    assert precision == 1.0 and recall == 1.0
