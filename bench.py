@@ -37,6 +37,10 @@ def _warm_cache():
 
 
 def run_bench() -> dict:
+    # cap per-worker polars threads to the worker's CPU budget (Ray caps
+    # Arrow via OMP_NUM_THREADS but polars reads its own variable);
+    # uncapped, every worker bursts onto all cores and workers fight
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
     import ray
 
     ray.init(
@@ -71,6 +75,22 @@ def run_bench() -> dict:
     write_ndjson(canonical.select_columns(["subj", "pred", "obj"]), f"{out_dir}/ndjson")
     headline = time.time() - t0
     timings["kg_end_to_end"] = headline
+
+    if os.environ.get("BENCH_KG_ONLY"):
+        result = {
+            "metric": "kg pipeline end-to-end seconds",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {"kg_end_to_end": round(headline, 3)},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "replicate": REPLICATE,
+            "raw_triples": int(n_triples_in),
+            "canonical_triples": int(n_canonical),
+            "raw_triples_per_sec": round(n_triples_in / headline, 1),
+        }
+        ray.shutdown()
+        return result
 
     # secondary pipelines
     from ntto_ray import registry
@@ -109,8 +129,20 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """N vs 4N scaling on the SAME input (the sandbox stand-in for two
+    cluster sizes). KG pipeline only, larger corpus (replicate=64) so
+    fixed startup cost doesn't dominate, runs INTERLEAVED (hi, lo, hi,
+    lo) and best-of-2 per level — this box is a shared host with ±40%
+    run-to-run noise, so single paired runs are not comparable."""
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_KG_ONLY="1",
+            BENCH_REPLICATE=os.environ.get("SCALING_REPLICATE", "64"),
+            POLARS_MAX_THREADS="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -121,17 +153,23 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    runs = {lo: [], hi: []}
+    for ncpu in (hi, lo, hi, lo):
+        runs[ncpu].append(run(ncpu))
+    best_lo = min(runs[lo], key=lambda r: r["value"])
+    best_hi = min(runs[hi], key=lambda r: r["value"])
+    t_lo, t_hi = best_lo["value"], best_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency (8→32 cpus, same input)",
+        "metric": "scaling efficiency (8→32 cpus, same input, best of 2 interleaved)",
         "sec_8": t_lo,
         "sec_32": t_hi,
-        "tput_8": r_lo["raw_triples_per_sec"],
-        "tput_32": r_hi["raw_triples_per_sec"],
+        "tput_8": best_lo["raw_triples_per_sec"],
+        "tput_32": best_hi["raw_triples_per_sec"],
+        "all_runs": {str(k): [r["value"] for r in v] for k, v in runs.items()},
         "scaling_efficiency": round(eff, 3),
+        "raw_triples": best_hi["raw_triples"],
+        "replicate": best_hi["replicate"],
         "sf": SF_DIR,
     }
 

@@ -43,10 +43,13 @@ def _pool() -> tuple[int, int]:
     deadlock on a small session), max ≈ half the CPUs per pool so the
     three pools + task stages share the node without starving each
     other."""
+    import os
+
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(2, cpus // 2))
+    div = int(os.environ.get("NTTO_POOL_DIV", "2"))
+    return (1, max(2, cpus // div))
 
 
 @dataclass
@@ -105,13 +108,60 @@ def abbreviate(
     )
 
 
-def build_graph(
+class AnnotateEmitAbbrev:
+    """Fused actor stage: detector → linker → emit → prefix-cut in one
+    ``__call__``. The four component stages are reused unchanged — fusion
+    only removes the object-store round trips of the two largest
+    intermediates (annotated transcripts with list columns, raw triples),
+    which dominate wall time once every kernel is vectorized. One actor
+    pool instead of three also removes autoscaler churn."""
+
+    def __init__(self, aliases_ref=None, rules=None, mode: str = "anchored"):
+        self._det = MentionDetector()
+        self._link = EntityLinker(aliases_ref=aliases_ref)
+        self._cut = PrefixCut(rules=rules, mode=mode)
+
+    def __call__(self, batch):
+        return self._cut(emit_triples(self._link(self._det(batch))))
+
+
+def extract_abbrev_fused(
     transcripts: ray.data.Dataset, cfg: KGConfig | None = None
 ) -> ray.data.Dataset:
-    """transcripts → canonical triples (subj, pred, obj, cnt). Lazy."""
+    """transcripts → triples_abbrev in a single actor-pool map_batches."""
+    cfg = (cfg or KGConfig()).pools()
+    aliases_ref = ray.put(dict(K.ALIASES))
+    return transcripts.map_batches(
+        AnnotateEmitAbbrev,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.detector_concurrency,
+        fn_constructor_kwargs={
+            "aliases_ref": aliases_ref,
+            "rules": rules_as_tuples(cfg.rules),
+            "mode": cfg.prefix_mode,
+        },
+    )
+
+
+def build_graph(
+    transcripts: ray.data.Dataset,
+    cfg: KGConfig | None = None,
+    *,
+    fused: bool = False,
+) -> ray.data.Dataset:
+    """transcripts → canonical triples (subj, pred, obj, cnt). Lazy.
+
+    ``fused=True`` runs detector→linker→emit→prefix in one actor pool —
+    fewer object-store hops but less stage overlap; measured slower on a
+    32-CPU box (39 s vs 25-38 s at 12.7M triples), kept as an option for
+    clusters where the object-store hops dominate (multi-node, big
+    intermediates)."""
     cfg = cfg or KGConfig()
-    raw = extract_triples(transcripts, cfg)
-    abbrev = abbreviate(raw, cfg)
+    if fused:
+        abbrev = extract_abbrev_fused(transcripts, cfg)
+    else:
+        abbrev = abbreviate(extract_triples(transcripts, cfg), cfg)
     return canonicalize(abbrev)
 
 

@@ -379,3 +379,57 @@ def rel_union_priority(sf_dir: str):
         batch_format="pyarrow",
     )
     return o.union(f).groupby("o_orderpriority").aggregate(Count(alias_name="cnt"))
+
+
+# --- distributed hash join (two large sides) -------------------------------
+
+@register(
+    "rel_hash_join_revenue",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def rel_hash_join_revenue(sf_dir: str):
+    """Distributed hash join (``Dataset.join``) of two large sides:
+    lineitem ⋈ orders on the order key, then revenue per order priority.
+    This is the shuffle-join path; the broadcast path for small dims is
+    rel_segment_sales / rel_nation_revenue. Inputs are materialized
+    before the join (JoinOperator aggregators deadlock small sessions
+    when competing with upstream operators for CPU slots)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ntto_ray.stages.canonicalize import _shuffle_parallelism
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue_c": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    li = li.map_batches(prep, batch_format="pyarrow").materialize()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).materialize()
+    joined = li.join(
+        orders,
+        "inner",
+        num_partitions=_shuffle_parallelism(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return (
+        joined.map_batches(
+            lambda t: pa.table(
+                {"priority": t["o_orderpriority"], "revenue_c": t["revenue_c"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("priority")
+        .aggregate(Count(alias_name="n_lines"), Sum("revenue_c", alias_name="revenue_c"))
+    )

@@ -178,10 +178,24 @@ def synth_transcripts(
     # small side BEFORE the expansion so every core gets work. (A real
     # 100 TB transcripts input is already many files/row-groups and skips
     # this: read_transcripts below.)
+    import os
+
     import ray as _ray
 
     cpus = int(_ray.available_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    docs = docs.repartition(max(cpus * 2, 16))
+    # Block count: ≈60k turns (~50 MB of downstream triples) per block,
+    # floored at 2×CPUs so a small input still fans out. Measured sweet
+    # spot for the full streaming topology: smaller blocks (8×CPUs) win
+    # for an isolated map stage (more waves per actor hide ramp-up and
+    # stragglers) but lose end-to-end, where stage overlap already hides
+    # tails and per-block costs in the sort dominate. At 100 TB the data
+    # term dominates and gives thousands of blocks regardless.
+    n_docs = docs.count()
+    turns = n_docs * replicate * K.TURNS_PER_CONV
+    blocks = int(os.environ.get(
+        "NTTO_SOURCE_BLOCKS", max(cpus * 2, min(512, turns // 60_000), 16)
+    ))
+    docs = docs.repartition(blocks)
     if replicate > 1:
         docs = docs.map_batches(
             _replicate_docs, batch_format="pyarrow", fn_kwargs={"copies": replicate}

@@ -70,22 +70,84 @@ def _shuffle_parallelism() -> int:
     per-block, so a handful of large blocks serializes the shuffle
     (measured: 1 block = 130 s vs 64 blocks = 9 s for the same 700k
     rows). Keep ≥ 2×CPUs blocks going into any groupby/sort."""
+    import os
+
     import ray as _ray
 
+    mult = int(os.environ.get("NTTO_SHUFFLE_MULT", "2"))
     if _ray.is_initialized():
-        return max(16, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+        return max(16, int(_ray.cluster_resources().get("CPU", 8)) * mult)
     return 16
+
+
+# Bucket-sorted exchange: Ray's generic string-key Aggregate costs
+# ~170 µs/row; sorting by a small int64 bucket and hash-aggregating each
+# sorted block in C++ is ~4.5× faster (measured 21 s vs 96 s for 12.8M
+# triples at 32 CPUs) and stays exact via boundary repair — a bucket can
+# span two sorted blocks, so rows of each block's first/last bucket go
+# through a (tiny) exact groupby while everything else is final after
+# the per-block pass.
+_BUCKETS = 1 << 16
+
+
+def _add_bucket_batch(batch: pa.Table) -> pa.Table:
+    import numpy as np
+    import polars as pl
+
+    h = pl.from_arrow(batch["k"]).hash(seed=0).to_numpy().astype(np.uint64)
+    return batch.append_column(
+        "bucket", pa.array((h % _BUCKETS).astype(np.int64))
+    )
+
+
+def _block_dedup_mark(batch: pa.Table) -> pa.Table:
+    """Per sorted block: C++ hash-aggregate cnt by key; mark rows whose
+    bucket touches the block edge (only those can continue in a
+    neighboring block)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "k": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+                "boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+    g = batch.group_by(["k", "bucket"]).aggregate([("cnt", "sum")])
+    g = g.rename_columns(["k", "bucket", "cnt"])
+    bmin = batch["bucket"][0].as_py()
+    bmax = batch["bucket"][batch.num_rows - 1].as_py()
+    boundary = pc.or_(pc.equal(g["bucket"], bmin), pc.equal(g["bucket"], bmax))
+    return pa.table({"k": g["k"], "cnt": g["cnt"], "boundary": boundary})
 
 
 def canonicalize(ds: ray.data.Dataset) -> ray.data.Dataset:
     """triples (possibly with lineage cols) → canonical distinct triples
-    with total multiplicity ``cnt``. One all-to-all shuffle, preceded by
-    map-side combining and an explicit block split (see
-    :func:`_shuffle_parallelism`)."""
+    with total multiplicity ``cnt``.
+
+    Exchange plan: map-side combine + key pack → int-bucket sort (the
+    one all-to-all, on an int64 key) → per-block C++ dedup with
+    boundary marking → exact aggregate over only the boundary rows →
+    union. The materialize barrier holds deduped partials (result-scale,
+    object-store-resident and spillable), never raw triples."""
     partial = ds.map_batches(_pack_dedup_batch, batch_format="pyarrow")
     partial = partial.repartition(_shuffle_parallelism())
-    agg = partial.groupby("k").aggregate(Sum("cnt", alias_name="cnt"))
-    return agg.map_batches(_unpack_batch, batch_format="pyarrow")
+    bucketed = partial.map_batches(_add_bucket_batch, batch_format="pyarrow")
+    partials = (
+        bucketed.sort("bucket")
+        .map_batches(_block_dedup_mark, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    safe = partials.map_batches(
+        lambda t: t.filter(pc.invert(t["boundary"])).select(["k", "cnt"]),
+        batch_format="pyarrow",
+    )
+    risky = partials.map_batches(
+        lambda t: t.filter(t["boundary"]).select(["k", "cnt"]),
+        batch_format="pyarrow",
+    )
+    fixed = risky.groupby("k").aggregate(Sum("cnt", alias_name="cnt"))
+    out = safe.union(fixed)
+    return out.map_batches(_unpack_batch, batch_format="pyarrow")
 
 
 def distinct_triples(ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -32,3 +32,28 @@ def test_synth_schema(ray_session):
     ds = synth_transcripts(SF_SMALL)
     schema = ds.schema()
     assert schema.names == [f.name for f in TRANSCRIPT_SCHEMA]
+
+
+def test_per_turn_text_equality_through_annotate(ray_session):
+    """The input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering must survive the stateful annotate
+    stages (detector + linker add columns, never mutate text/rows)."""
+    from ntto_ray.sources.transcripts import synth_transcripts
+    from ntto_ray.stages.extract import EntityLinker, MentionDetector
+
+    base = synth_transcripts(SF_SMALL)
+    annotated = base.map_batches(
+        MentionDetector, batch_format="pyarrow", concurrency=(1, 2)
+    ).map_batches(EntityLinker, batch_format="pyarrow", concurrency=(1, 2))
+
+    key = ["conv_id", "turn_idx"]
+    a = base.to_pandas().sort_values(key).reset_index(drop=True)
+    b = (
+        annotated.to_pandas()[a.columns.tolist()]
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # determinism across runs
+    c = synth_transcripts(SF_SMALL).to_pandas().sort_values(key).reset_index(drop=True)
+    assert a["text"].tolist() == c["text"].tolist()
