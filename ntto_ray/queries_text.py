@@ -59,26 +59,25 @@ def dedup_exact_fulltext(sf_dir: str):
     "dedup_jaccard_pairs",
     oracle="""
 WITH d AS (
-  SELECT doc_id, source, n_chars // 50 AS bucket,
-         list_distinct(string_split(text, ' ')) AS toks
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST((len(list_intersect(a.toks, b.toks)) * 100)
             // (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
             AS BIGINT) AS jaccard_pct
-FROM d a JOIN d b
-  ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+FROM d a JOIN d b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.toks, b.toks)) * 100
       >= 90 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
 """,
 )
 def dedup_jaccard_pairs(sf_dir: str):
+    """Globally exact near-dup pairs (prefix-filtered similarity join —
+    no blocking assumption, unlike round 1's (source, length-bucket)
+    scheme whose block population grew with the corpus)."""
     from ntto_ray.stages.dedup import jaccard_pairs
 
-    return jaccard_pairs(
-        _docs(sf_dir, ["doc_id", "text", "source", "n_chars"]), threshold_pct=90
-    )
+    return jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold_pct=90)
 
 
 @register("dedup_minhash_lsh", oracle=None)  # probabilistic — tests pin recall

@@ -3,13 +3,22 @@ large-scale training-data pipeline needs, each expressed Ray-Data-first.
 
 - exact dedup: vectorized key derivation + native grouped aggregate
   (min doc_id per key) — one hash shuffle, no Python groups.
-- token-Jaccard near-dup: bucketed all-pairs verification
-  (groupby(bucket).map_groups) — exact within its blocking assumption
-  (near-dups share (source, length-bucket)); documented + mirrored in SQL.
-- MinHash-LSH near-dup: shingle → 64-perm minhash → banded LSH →
-  candidate pairs via groupby on (band, band_hash) → exact-Jaccard verify.
-  Probabilistic (no SQL oracle); recall pinned by unit tests.
-- SimHash: 64-bit fingerprints; near-dup = hamming ≤ k within LSH chunks.
+- token-Jaccard near-dup: GLOBALLY exact set-similarity join via prefix
+  filtering (Vernica et al., SIGMOD'10 pattern): each doc emits only its
+  ``|T| - ceil(t*|T|) + 1`` lowest tokens (global hash order); any pair
+  with J >= t provably shares an emitted token, so the groupby(token)
+  exchange bounds candidate generation sub-quadratically. No blocking
+  assumption — unlike a (source, length-bucket) scheme, block population
+  does not grow with the corpus along a fixed key cardinality.
+- MinHash-LSH near-dup: shingle → minhash → banded LSH → ONE
+  hash-partitioned exchange on the packed bucket key (signatures ride
+  along as fixed-width blobs) → whole-block in-bucket verify → packed
+  pair-key dedupe exchange. All kernels vectorized (token hashes via one
+  siphash pass, shingles and band hashes via splitmix64 mixers over the
+  flattened token array — no per-row Python).
+- SimHash: 64-bit fingerprints; md5 token hashes are computed once per
+  UNIQUE token (vocabulary-bounded, cached across batches in the actor),
+  bit votes are one reduceat over the flattened contribution matrix.
 """
 
 from __future__ import annotations
@@ -65,149 +74,398 @@ def exact_dedup_fulltext(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-# --- token-set Jaccard near-dup (bucketed exact) --------------------------
+# --- shared vectorized helpers ---------------------------------------------
 
-def _token_set(text: str) -> set[str]:
-    return set(text.split(" "))
+_U = np.uint64
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized avalanche over uint64 (wrapping)."""
+    x = (x ^ (x >> _U(30))) * _U(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U(27))) * _U(0x94D049BB133111EB)
+    return x ^ (x >> _U(31))
+
+
+def _tokenize(texts: pa.ChunkedArray | pa.Array):
+    """One split kernel for the whole batch → (flat tokens ndarray,
+    per-row offsets into it). Offsets are rebuilt from value lengths so
+    sliced/chunked list arrays can't misalign the flat view."""
+    toks = pc.split_pattern(texts, pattern=" ")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.empty(len(counts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(counts, out=offsets[1:])
+    return flat, offsets
+
+
+def _token_hashes(flat: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit token hashes, one vectorized pass (pandas
+    siphash with its fixed default key — stable across processes)."""
+    return pd.util.hash_array(flat, categorize=True).astype(_U)
+
+
+def _conform(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Force a block to an exact schema. Ray's groupby/aggregate and join
+    operators emit schema-less EMPTY blocks under high parallelism; if one
+    of those reaches a pyarrow hash join partition, acero fails with 'No
+    match ... for key field'. Conforming every block (empty included)
+    before a join removes that failure mode."""
+    if t.num_rows == 0:
+        return schema.empty_table()
+    cols = []
+    for f in schema:
+        col = t[f.name]
+        if col.type != f.type:
+            col = col.cast(f.type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def _hash_grouped(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
+    """Hash-partition ``ds`` by ``keys`` with each output block sorted by
+    them — the group-safe exchange for whole-block grouped kernels.
+
+    Unlike ``groupby().map_groups()`` under the default sort-shuffle
+    (range partitioning can split one key's run across output blocks when
+    a partition exceeds the target block size — observed as duplicated
+    keys), hash partitioning puts ALL rows of a key in exactly one block,
+    so a downstream ``map_batches(fn, batch_size=None)`` sees every group
+    whole. Scoped via the per-dataset context — the global strategy stays
+    sort-shuffle for the pipelines tuned on it."""
+    import ray as _ray
+    from ray.data.context import ShuffleStrategy
+
+    from ntto_ray.stages.canonicalize import _shuffle_parallelism
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # The aggregator ACTOR pool costs ~0.3 s per actor to spin up; cap it
+    # at half the CPUs (partition count stays 2×CPUs — each aggregator
+    # just owns several partitions). Measured: 64 partitions / 16 actors
+    # = 2.5 s vs 64/64 = 21 s for the same 1 M-row exchange.
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    ds.context.max_hash_shuffle_aggregators = max(8, cpus // 2)
+    return ds.repartition(_shuffle_parallelism(), keys=keys, sort=True)
+
+
+def _runs(key: np.ndarray):
+    """(start, end) pairs of contiguous equal-key runs in a sorted array."""
+    if len(key) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]).astype(np.int64)
+    ends = np.r_[starts[1:], len(key)]
+    return starts, ends
+
+
+def _dedupe_pairs(pairs: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Collapse duplicate (doc_a, doc_b) rows (a pair can be surfaced by
+    several tokens / bands; every copy carries the same score) via a
+    packed-int64-key hash exchange + per-block run dedupe — no generic
+    aggregate on the hot path. Assumes doc ids < 2^31."""
+
+    def pack(t: pa.Table) -> pa.Table:
+        t = _conform(t, schema)
+        pk = (t["doc_a"].to_numpy().astype(np.int64) << np.int64(31)) | t[
+            "doc_b"
+        ].to_numpy().astype(np.int64)
+        return t.append_column("pk", pa.array(pk, type=pa.int64()))
+
+    # Finite batch_size matters: a keyed exchange passes EMPTY blocks
+    # through downstream map stages without invoking the UDF, and Ray's
+    # hash-shuffle broadcasts the schema of the FIRST block it sees — a
+    # zero-column empty reaching the next exchange first makes empty
+    # partitions finalize schema-less and crash sort_by(pk). A finite
+    # batch_size makes the batcher absorb empties before the exchange.
+    keyed = _hash_grouped(
+        pairs.map_batches(pack, batch_size=65536, batch_format="pyarrow"),
+        ["pk"],
+    )
+
+    def drop_dup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return schema.empty_table()
+        pk = t["pk"].to_numpy()
+        keep = np.r_[True, pk[1:] != pk[:-1]]
+        return _conform(t.filter(pa.array(keep)), schema)
+
+    deduped = keyed.map_batches(drop_dup, batch_size=None, batch_format="pyarrow")
+    return deduped.map_batches(
+        lambda t: _conform(t, schema), batch_size=65536, batch_format="pyarrow"
+    )
+
+
+# --- token-set Jaccard near-dup: exact prefix-filtered similarity join ----
+
+_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_pct", pa.int64())]
+)
+
+
+def _distinct_sorted_per_row(h: np.ndarray, offsets: np.ndarray):
+    """Per-row distinct token hashes, each row's set sorted ascending —
+    one global lexsort over (row, hash), no per-row Python. Returns
+    (values, row_offsets)."""
+    n = len(offsets) - 1
+    parent = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    # sort by (parent, hash) then drop consecutive duplicates per parent
+    order = np.lexsort((h, parent))
+    ps, hs = parent[order], h[order]
+    keep = np.empty(len(hs), dtype=bool)
+    keep[0:1] = True
+    if len(hs) > 1:
+        keep[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+    ps, hs = ps[keep], hs[keep]
+    counts = np.bincount(ps, minlength=n).astype(np.int64)
+    out_off = np.empty(n + 1, dtype=np.int64)
+    out_off[0] = 0
+    np.cumsum(counts, out=out_off[1:])
+    return hs, out_off
 
 
 def jaccard_pairs(
-    docs: ray.data.Dataset,
-    *,
-    threshold_pct: int = 90,
-    chars_bucket: int = 50,
+    docs: ray.data.Dataset, *, threshold_pct: int = 90
 ) -> ray.data.Dataset:
-    """All (a, b) doc pairs with token-set Jaccard ≥ threshold, blocked by
-    (source, n_chars // chars_bucket). Exact within the blocking
-    assumption: near-identical docs land in the same block (same source,
-    |len diff| < bucket width). The in-block verify is all-pairs — block
-    size is bounded by the blocking key cardinality, which grows with the
-    corpus, keeping per-group work flat.
+    """All (a, b) doc pairs with distinct-token-set Jaccard >= threshold —
+    globally exact (no blocking assumption) via prefix filtering.
+
+    Each doc emits its ``n - ceil(t*n) + 1`` smallest token hashes (a
+    global pseudo-random total order); the prefix-filtering theorem
+    guarantees every qualifying pair shares an emitted token, so the
+    groupby(token) exchange sees sub-quadratic candidates at high
+    thresholds. In-group verification applies the length filter
+    (``100*min(|A|,|B|) >= t*max``) before exact sorted-set
+    intersections; cross-group duplicates collapse in a final tiny
+    groupby. Token identity is 64-bit hashed — a same-corpus collision
+    would need ~2^32 distinct tokens.
 
     Integer-threshold comparison (inter*100 >= t*union) so the result is
     float-free and hash-stable vs the SQL oracle."""
 
-    def prep(t: pa.Table) -> pa.Table:
-        bucket = pc.cast(
-            pc.floor(pc.divide(pc.cast(t["n_chars"], pa.float64()), chars_bucket)),
-            pa.int64(),
+    def emit_prefix(t: pa.Table) -> pa.Table:
+        flat, offsets = _tokenize(t["text"].combine_chunks())
+        h = _token_hashes(flat)
+        hs, off = _distinct_sorted_per_row(h, offsets)
+        ntok = np.diff(off)
+        # prefix length p = n - ceil(t*n/100) + 1
+        p = ntok - (-(ntok * threshold_pct) // 100) + 1
+        p = np.minimum(p, ntok)
+        doc_ids = t["doc_id"].to_numpy()
+        # gather each row's first p hashes
+        reps = p.astype(np.int64)
+        row_idx = np.repeat(np.arange(len(ntok)), reps)
+        within = np.arange(len(row_idx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
         )
-        return pa.Table.from_arrays(
-            [t["doc_id"], t["text"], t["source"], bucket],
-            names=["doc_id", "text", "source", "bucket"],
-        )
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sets = [_token_set(t) for t in g["text"]]
-        sizes = np.array([len(s) for s in sets])
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            si = sets[i]
-            for j in range(i + 1, len(ids)):
-                inter = len(si & sets[j])
-                union = sizes[i] + sizes[j] - inter
-                if inter * 100 >= threshold_pct * union:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(inter * 100 // union)
-        return pd.DataFrame(
+        tok = hs[off[:-1][row_idx] + within]
+        # ship each doc's full sorted set as one binary blob for verify
+        blobs = [hs[off[i] : off[i + 1]].tobytes() for i in range(len(ntok))]
+        return pa.table(
             {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
-                "jaccard_pct": pd.Series(out_j, dtype="int64"),
+                "tok": tok.view(np.int64),
+                "doc_id": doc_ids[row_idx],
+                "ntok": ntok[row_idx],
+                "toks": pa.array(blobs, type=pa.binary()).take(
+                    pa.array(row_idx, type=pa.int64())
+                ),
             }
         )
 
-    return (
-        docs.map_batches(prep, batch_format="pyarrow")
-        .groupby(["source", "bucket"])
-        .map_groups(verify, batch_format="pandas")
+    def block_verify(t: pa.Table) -> pa.Table:
+        """Whole-block verify: the block holds complete token groups
+        (hash-partitioned, key-sorted). Per group, exact pairwise
+        intersection sizes come from ONE Gram matrix B @ B.T over the
+        docs × group-vocabulary incidence matrix (float32 sgemm — exact
+        for counts < 2^24), chunked over vocabulary columns so memory is
+        bounded regardless of group vocabulary."""
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return _PAIR_SCHEMA.empty_table()
+        tok = t["tok"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        ntok = t["ntok"].to_numpy()
+        blobs = t["toks"].to_pylist()
+        out_a, out_b, out_j = [], [], []
+        starts, ends = _runs(tok)
+        for s, e in zip(starts, ends):
+            g = int(e - s)
+            if g < 2:
+                continue
+            order = np.argsort(doc[s:e], kind="stable")
+            ids = doc[s:e][order]
+            sz = ntok[s:e][order].astype(np.int64)
+            flat = np.frombuffer(
+                b"".join(blobs[s + int(i)] for i in order), dtype=_U
+            )
+            _, inv = np.unique(flat, return_inverse=True)
+            rows = np.repeat(np.arange(g, dtype=np.int64), sz)
+            u = int(inv.max()) + 1 if len(inv) else 0
+            inter = np.zeros((g, g), dtype=np.float32)
+            chunk = 8192
+            for lo in range(0, u, chunk):
+                hi = min(lo + chunk, u)
+                m = (inv >= lo) & (inv < hi)
+                B = np.zeros((g, hi - lo), dtype=np.float32)
+                B[rows[m], inv[m] - lo] = 1.0
+                inter += B @ B.T
+            ia_full = inter.astype(np.int64)
+            a, b = np.triu_indices(g, k=1)
+            ia = ia_full[a, b]
+            union = sz[a] + sz[b] - ia
+            keep = ia * 100 >= threshold_pct * union
+            out_a.append(ids[a[keep]])
+            out_b.append(ids[b[keep]])
+            out_j.append(ia[keep] * 100 // union[keep])
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_a).astype(np.int64)),
+                pa.array(np.concatenate(out_b).astype(np.int64)),
+                pa.array(np.concatenate(out_j).astype(np.int64)),
+            ],
+            schema=_PAIR_SCHEMA,
+        )
+
+    grouped = _hash_grouped(
+        docs.map_batches(emit_prefix, batch_format="pyarrow"), ["tok"]
     )
+    pairs = grouped.map_batches(
+        block_verify, batch_size=None, batch_format="pyarrow"
+    )
+    # a qualifying pair may share several prefix tokens — collapse dups
+    return _dedupe_pairs(pairs, _PAIR_SCHEMA)
 
 
 # --- MinHash + LSH --------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_SHINGLE_PRIME = _U(0x9E3779B97F4A7C15)
 
 
 class MinHasher:
-    """Stateful actor stage: 64-permutation MinHash over k-token shingles.
-    Permutation parameters are derived from a fixed seed in ``__init__``
-    (once per actor)."""
+    """Stateful actor stage: ``num_perm``-permutation MinHash over
+    k-token shingles. Permutation parameters derive from a fixed seed in
+    ``__init__`` (once per actor). Fully vectorized: one token-hash pass,
+    shingle hashes by k-1 shifted mixer steps over the flat token array,
+    per-doc signature mins via ``np.minimum.reduceat``. Permutations use
+    wrapping uint64 affine maps (mod 2^64) — a valid deterministic hash
+    family, cheaper than Mersenne-prime modular arithmetic."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # odd multipliers → bijective affine maps mod 2^64
+        self.a = (
+            rng.randint(0, 1 << 62, size=num_perm).astype(_U) * _U(2) + _U(1)
+        )
+        self.b = rng.randint(0, 1 << 62, size=num_perm).astype(_U)
         self.k = shingle_k
         self.num_perm = num_perm
 
-    def _shingle_hashes(self, text: str) -> np.ndarray:
-        toks = text.split(" ")
+    def _shingles(self, flat: np.ndarray, offsets: np.ndarray):
+        """Shingle hashes + their row index, from the flat token array.
+        Rows shorter than k contribute one shingle over all their
+        tokens."""
+        h = _token_hashes(flat)
         k = self.k
-        if len(toks) < k:
-            shingles = {" ".join(toks)}
+        n = len(offsets) - 1
+        counts = np.diff(offsets)
+        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+        total = len(h)
+        if total >= k:
+            s = h[: total - k + 1].copy()
+            for j in range(1, k):
+                s = s * _SHINGLE_PRIME ^ h[j : total - k + 1 + j]
+            valid = parent[: total - k + 1] == parent[k - 1 :]
+            s_long = _mix64(s[valid])
+            p_long = parent[: total - k + 1][valid]
         else:
-            shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-        return np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                for s in shingles
-            ),
-            dtype=np.uint64,
-            count=len(shingles),
-        )
+            s_long = np.empty(0, dtype=_U)
+            p_long = np.empty(0, dtype=np.int64)
+        short_rows = np.flatnonzero(counts < k)
+        if len(short_rows):
+            starts = offsets[:-1][short_rows]
+            lens = counts[short_rows]
+            s = h[starts].copy()
+            for j in range(1, int(lens.max())):
+                m = lens > j
+                s[m] = s[m] * _SHINGLE_PRIME ^ h[starts[m] + j]
+            s_short = _mix64(s)
+        else:
+            s_short = np.empty(0, dtype=_U)
+        vals = np.concatenate([s_long, s_short])
+        rows = np.concatenate([p_long, short_rows])
+        order = np.argsort(rows, kind="stable")
+        return vals[order], rows[order]
+
+    def _signatures(self, flat, offsets) -> np.ndarray:
+        vals, rows = self._shingles(flat, offsets)
+        n = len(offsets) - 1
+        # (n_shingles, num_perm) affine permutations, min per row.
+        # chunk so the intermediate stays < ~64 MB regardless of batch
+        sig = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=_U)
+        starts = np.searchsorted(rows, np.arange(n))
+        step = max(1, (1 << 23) // self.num_perm)
+        for lo in range(0, len(vals), step):
+            hi = min(lo + step, len(vals))
+            m = vals[lo:hi, None] * self.a[None, :] + self.b[None, :]
+            rlo, rhi = rows[lo], rows[hi - 1]
+            seg = np.clip(starts[rlo : rhi + 1] - lo, 0, hi - lo)
+            mins = np.minimum.reduceat(m, seg, axis=0)
+            np.minimum(
+                sig[rlo : rhi + 1], mins, out=sig[rlo : rhi + 1]
+            )
+        return sig
 
     def signature(self, text: str) -> np.ndarray:
-        h = self._shingle_hashes(text)
-        # (a*h + b) mod p, min over shingles, vectorized over perms
-        vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        return vals.min(axis=0)
+        """Single-text signature (test/debug path — same kernel)."""
+        flat, offsets = _tokenize(pa.array([text]))
+        return self._signatures(flat, offsets)[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.stack(
-            [self.signature(t) for t in batch["text"].to_pylist()]
-        )
+        flat, offsets = _tokenize(batch["text"].combine_chunks())
+        sig = self._signatures(flat, offsets)
         return pa.Table.from_arrays(
-            [
-                batch["doc_id"],
-                pa.array(list(sigs.astype(np.uint64))),
-            ],
+            [batch["doc_id"], pa.array(list(sig))],
             names=["doc_id", "sig"],
         )
 
 
 def _band_rows(batch: pa.Table, *, bands: int, rows: int) -> pa.Table:
-    """Explode signatures to (band_id, band_hash, doc_id) rows for the LSH
-    groupby."""
-    sig = np.stack([np.asarray(s) for s in batch["sig"].to_pylist()]).astype(np.uint64)
+    """Explode signatures to (bkey, doc_id, sig) rows for the LSH
+    exchange — one packed 63-bit bucket key per (band, band-hash) via a
+    vectorized splitmix64 chain over the band columns (no per-row
+    hashing; the band index is folded into the seed so equal band hashes
+    from DIFFERENT bands land in different buckets, up to a 1/2^63
+    collision that would only add a verified-anyway candidate). The full
+    signature rides along as a fixed-width binary blob so bucket members
+    verify in place."""
+    if batch.num_rows == 0:
+        return pa.schema(
+            [("bkey", pa.int64()), ("doc_id", pa.int64()), ("sig", pa.binary())]
+        ).empty_table()
+    sig = np.stack([np.asarray(s) for s in batch["sig"].to_pylist()]).astype(_U)
     n = sig.shape[0]
     doc = batch["doc_id"].to_numpy()
-    out_doc, out_band, out_hash = [], [], []
+    blobs = pa.array([row.tobytes() for row in sig], type=pa.binary())
+    out_key = []
     for b in range(bands):
         chunk = sig[:, b * rows : (b + 1) * rows]
-        # deterministic across processes (python hash() is seed-salted)
-        hs = np.array(
-            [
-                int.from_bytes(hashlib.blake2b(c.tobytes(), digest_size=8).digest(), "little")
-                >> 1
-                for c in chunk
-            ],
-            dtype=np.int64,
-        )
-        out_doc.append(doc)
-        out_band.append(np.full(n, b, dtype=np.int64))
-        out_hash.append(hs)
+        acc = _mix64(chunk[:, 0] + _U(2 * b + 1))
+        for j in range(1, rows):
+            acc = _mix64(acc * _SHINGLE_PRIME ^ chunk[:, j])
+        out_key.append((acc >> _U(1)).astype(np.int64))
+    take = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
     return pa.Table.from_arrays(
         [
-            pa.array(np.concatenate(out_band)),
-            pa.array(np.concatenate(out_hash)),
-            pa.array(np.concatenate(out_doc)),
+            pa.array(np.concatenate(out_key)),
+            pa.array(np.tile(doc, bands)),
+            blobs.take(take),
         ],
-        names=["band", "band_hash", "doc_id"],
+        names=["bkey", "doc_id", "sig"],
     )
+
+
+_LSH_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard_pct", pa.int64())]
+)
 
 
 def minhash_lsh_pairs(
@@ -218,12 +476,26 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     shingle_k: int = 3,
 ) -> ray.data.Dataset:
-    """MinHash-LSH candidate generation + signature-Jaccard verification.
+    """MinHash-LSH near-dup pairs in ONE wide exchange.
 
-    shingle→minhash (actor pool) → band explode → groupby(band, band_hash)
-    → in-bucket pairs → estimated Jaccard (matching signature fraction)
-    ≥ threshold. Distinct pairs via a final groupby. Probabilistic — no
-    SQL oracle; recall is pinned in tests against planted near-dups."""
+    shingle→minhash (actor pool) → band explode (each row carries its
+    fixed-width signature blob) → groupby(band, band_hash) → in-bucket
+    pairwise signature verify (estimated Jaccard = matching-minhash
+    fraction >= threshold) → tiny groupby(doc_a, doc_b) to collapse pairs
+    found by several bands. Probabilistic — no SQL oracle; recall is
+    pinned in tests against planted near-dups.
+
+    Design note (round 2): round 1 attached signatures to candidate
+    pairs via two ``Dataset.join``s; Ray 2.49's JoinOperator crashes when
+    a hash partition receives no left-side shard (its ArrowBlockBuilder
+    builds a schema-less table and acero fails with 'No match ... for
+    key field') and deadlocks small sessions when two joins share a
+    topology. Carrying the ~0.5 KB/doc signature through the band
+    shuffle costs ``bands``× that in exchange volume but removes both
+    failure modes and two shuffles; it is the layout DataSketch-style
+    distributed LSH uses. Bucket verify is all-pairs over docs whose
+    band collided — bucket population is bounded by the band-hash
+    collision rate, not the corpus."""
     rows = num_perm // bands
     sigs = docs.map_batches(
         MinHasher,
@@ -231,146 +503,107 @@ def minhash_lsh_pairs(
         concurrency=(1, 8),
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
     )
-    # keep full signature alongside for verification: carry sig through
     banded = sigs.map_batches(
         _band_rows,
         batch_format="pyarrow",
         fn_kwargs={"bands": bands, "rows": rows},
     )
 
-    # bucket → candidate pairs (doc_a < doc_b)
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique()).astype(np.int64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                }
-            )
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    def bucket_verify(t: pa.Table) -> pa.Table:
+        """Whole-block verify over complete (bkey) bucket runs: per
+        bucket, estimated Jaccard = matching-minhash fraction computed
+        by ONE (pairs × num_perm) equality reduction over the stacked
+        signature matrix."""
+        if t.num_rows == 0 or "bkey" not in t.column_names:
+            return _LSH_PAIR_SCHEMA.empty_table()
+        bkey = t["bkey"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        blobs = t["sig"].to_pylist()
+        out_a, out_b, out_e = [], [], []
+        starts, ends = _runs(bkey)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids_all = doc[s:e]
+            order = np.argsort(ids_all, kind="stable")
+            ids = ids_all[order]
+            first = np.r_[True, ids[1:] != ids[:-1]]
+            order = order[first]
+            ids = ids[first]
+            g = len(ids)
+            if g < 2:
+                continue
+            mat = np.frombuffer(
+                b"".join(blobs[s + int(i)] for i in order), dtype=_U
+            ).reshape(g, -1)
+            a, b = np.triu_indices(g, k=1)
+            matches = (mat[a] == mat[b]).sum(axis=1)
+            keep = matches >= threshold * mat.shape[1]
+            if not keep.any():
+                continue
+            out_a.append(ids[a[keep]])
+            out_b.append(ids[b[keep]])
+            out_e.append(matches[keep] * 100 // mat.shape[1])
+        if not out_a:
+            return _LSH_PAIR_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_a).astype(np.int64)),
+                pa.array(np.concatenate(out_b).astype(np.int64)),
+                pa.array(np.concatenate(out_e).astype(np.int64)),
+            ],
+            schema=_LSH_PAIR_SCHEMA,
+        )
 
-    cand = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="nbands"))
+    grouped = _hash_grouped(banded, ["bkey"])
+    pairs = grouped.map_batches(
+        bucket_verify, batch_size=None, batch_format="pyarrow"
     )
-
-    # verify: attach each side's signature with a distributed hash join
-    # (doc_a then doc_b) — no driver-side materialization, so the verify
-    # scales with the candidate count, not the corpus. For tiny corpora a
-    # broadcast (ray.put of all signatures) would be faster, but the join
-    # is the 100 TB path.
-    from ntto_ray.stages.canonicalize import _shuffle_parallelism
-
-    nparts = _shuffle_parallelism()
-
-    def sig_to_bin(t: pa.Table) -> pa.Table:
-        # Arrow's join rejects list-typed payload columns — ship the
-        # signature as one fixed-width binary blob per doc instead
-        mat = np.stack([np.asarray(s) for s in t["sig"].to_pylist()]).astype(
-            np.uint64
-        )
-        blobs = pa.array(
-            [row.tobytes() for row in mat], type=pa.binary()
-        )
-        return pa.table({"doc_id": t["doc_id"], "sig": blobs})
-
-    # materialize each join input and the intermediate: a JoinOperator
-    # deadlocks small sessions when its aggregator actors compete with
-    # upstream operators (or a second join) for CPU slots. The barriers
-    # hold the candidate pairs (≪ corpus) and the fixed-width signature
-    # table (~0.5 KB/doc, object-store-resident and spillable) — never
-    # the documents themselves
-    sigs_bin = sigs.map_batches(sig_to_bin, batch_format="pyarrow").materialize()
-    cand = cand.materialize()
-    with_a = cand.join(
-        sigs_bin,
-        "inner",
-        num_partitions=nparts,
-        on=("doc_a",),
-        right_on=("doc_id",),
-        right_suffix="_a",
-    ).materialize()
-    with_ab = with_a.join(
-        sigs_bin,
-        "inner",
-        num_partitions=nparts,
-        on=("doc_b",),
-        right_on=("doc_id",),
-        left_suffix="_l",
-        right_suffix="_b",
-    )
-
-    def verify(t: pa.Table, *, threshold=threshold) -> pa.Table:
-        cols = t.column_names
-        sig_a_col = "sig" if "sig" in cols else ("sig_l" if "sig_l" in cols else "sig_a")
-        sig_b = "sig_b" if "sig_b" in cols else "sig_r"
-        da = t["doc_a"].to_numpy()
-        db = t["doc_b"].to_numpy()
-        if len(da) == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
-                    "est_jaccard_pct": pa.array([], type=pa.int64()),
-                }
-            )
-        sa = np.frombuffer(
-            b"".join(t[sig_a_col].to_pylist()), dtype=np.uint64
-        ).reshape(len(da), -1)
-        sb = np.frombuffer(
-            b"".join(t[sig_b].to_pylist()), dtype=np.uint64
-        ).reshape(len(db), -1)
-        est = (sa == sb).mean(axis=1)
-        keep = est >= threshold
-        out = pa.table(
-            {
-                "doc_a": pa.array(da[keep]),
-                "doc_b": pa.array(db[keep]),
-                "est_jaccard_pct": pa.array((est[keep] * 100).astype(np.int64)),
-            }
-        )
-        return out
-
-    return with_ab.map_batches(verify, batch_format="pyarrow")
-
+    return _dedupe_pairs(pairs, _LSH_PAIR_SCHEMA)
 
 # --- SimHash --------------------------------------------------------------
 
 class SimHasher:
     """64-bit SimHash fingerprints over tokens (deterministic md5 token
-    hashes). Fingerprint equality/nearness ⇒ textual near-duplication."""
+    hashes — SQL-mirrorable). md5 runs once per UNIQUE token with a
+    cross-batch cache in the actor; bit votes are one reduceat over the
+    flattened ±1 contribution matrix. Fingerprint equality/nearness ⇒
+    textual near-duplication."""
 
     def __init__(self, bits: int = 64):
         self.bits = bits
+        self.shifts = np.arange(bits, dtype=_U)
+        self.weights = (_U(1) << self.shifts)
         self._cache: dict[str, int] = {}
 
-    def _tok_hash(self, tok: str) -> int:
-        h = self._cache.get(tok)
-        if h is None:
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-            self._cache[tok] = h
-        return h
+    def _uniq_hashes(self, uniq: np.ndarray) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(uniq), dtype=_U)
+        for i, tok in enumerate(uniq):
+            h = cache.get(tok)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+                cache[tok] = h
+            out[i] = h
+        return out
+
+    def _fingerprints(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        uniq, inv = np.unique(flat, return_inverse=True)
+        uh = self._uniq_hashes(uniq)
+        bits = ((uh[:, None] >> self.shifts[None, :]) & _U(1)).astype(np.int32)
+        contrib = 2 * bits - 1  # (U, 64) ±1 votes
+        votes = np.add.reduceat(contrib[inv], offsets[:-1], axis=0)
+        return ((votes > 0).astype(_U) * self.weights[None, :]).sum(axis=1)
 
     def fingerprint(self, text: str) -> int:
-        acc = np.zeros(self.bits, dtype=np.int64)
-        shifts = np.arange(self.bits, dtype=np.uint64)
-        for tok in text.split(" "):
-            h = np.uint64(self._tok_hash(tok))
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        fp = 0
-        for i in np.flatnonzero(acc > 0):
-            fp |= 1 << int(i)
-        return fp
+        flat, offsets = _tokenize(pa.array([text]))
+        return int(self._fingerprints(flat, offsets)[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [self.fingerprint(t) for t in batch["text"].to_pylist()]
+        flat, offsets = _tokenize(batch["text"].combine_chunks())
+        fps = self._fingerprints(flat, offsets)
         return pa.Table.from_arrays(
-            [batch["doc_id"], pa.array(np.array(fps, dtype=np.uint64))],
+            [batch["doc_id"], pa.array(fps)],
             names=["doc_id", "simhash"],
         )
 
