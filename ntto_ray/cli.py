@@ -95,7 +95,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.partitions > 1:
             from ntto_ray.pipelines.kg import build_graph
             from ntto_ray.sources.transcripts import synth_transcripts
-            from ntto_ray.state.checkpoint import conv_partition_filter, run_partitioned
+            from ntto_ray.state.checkpoint import (
+                content_fingerprint,
+                conv_partition_filter,
+                run_partitioned,
+            )
 
             def make(pid: int, n: int):
                 t = synth_transcripts(args.kg_sf_dir).map_batches(
@@ -107,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions,
                 out_dir=args.kg_out,
                 make_partition_ds=make,
-                fingerprint=args.kg_sf_dir,
+                fingerprint=content_fingerprint(args.kg_sf_dir),
             )
             done = sum(1 for r in res if not r.skipped)
             print(f"partitions={len(res)} ran={done} rows={sum(r.rows for r in res)}")
@@ -119,6 +123,30 @@ def main(argv: list[str] | None = None) -> int:
     if not args.file:
         ap.print_usage(sys.stderr)
         return 1
+
+    if args.a and not args.j:
+        # Reference parity: the -a-only path never parses — ordered
+        # global replaces over the RAW lines (common.go:104-127), so
+        # literals / terminal dots / spacing are preserved byte-for-byte.
+        _ensure_ray(args.w)
+        import ray.data
+
+        from ntto_ray.stages.materialize import NDJSONLinesSink
+        from ntto_ray.stages.prefix import RawLineAbbrev
+
+        raw = ray.data.read_text(args.file).map_batches(
+            RawLineAbbrev,
+            batch_format="pyarrow",
+            concurrency=(1, args.w or 8),
+            fn_constructor_kwargs={
+                "rules": [(r.shortcut, r.prefix) for r in rules],
+                "null": args.n,
+            },
+        )
+        out = args.o or "/tmp/ntto-ray-abbrev"
+        raw.write_datasink(NDJSONLinesSink(out))
+        print(f"wrote {out}", file=sys.stderr)
+        return 0
 
     if args.a or args.j:
         _ensure_ray(args.w)
@@ -145,22 +173,13 @@ def main(argv: list[str] | None = None) -> int:
                     "null": args.n,
                 },
             )
-        if args.j:
-            lines = ds.map_batches(render_ndjson_batch, batch_format="pyarrow")
-            if args.o:
-                lines.write_datasink(NDJSONLinesSink(args.o))
-            else:
-                for batch in lines.iter_batches(batch_format="pyarrow"):
-                    for line in batch["line"].to_pylist():
-                        sys.stdout.write(line + "\n")
+        lines = ds.map_batches(render_ndjson_batch, batch_format="pyarrow")
+        if args.o:
+            lines.write_datasink(NDJSONLinesSink(args.o))
         else:
-            # -a only: write abbreviated NT
-            from ntto_ray.stages.ntparse import render_nt_batch
-
-            nt = ds.map_batches(render_nt_batch, batch_format="pyarrow")
-            out = args.o or "/tmp/ntto-ray-abbrev"
-            nt.write_datasink(NDJSONLinesSink(out))
-            print(f"wrote {out}", file=sys.stderr)
+            for batch in lines.iter_batches(batch_format="pyarrow"):
+                for line in batch["line"].to_pylist():
+                    sys.stdout.write(line + "\n")
         return 0
 
     ap.print_usage(sys.stderr)

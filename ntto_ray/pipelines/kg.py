@@ -39,17 +39,18 @@ def rules_as_tuples(rules: list[Rule]) -> list[tuple[str, str]]:
 
 
 def _pool() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the session: min 1 (never
-    deadlock on a small session), max ≈ half the CPUs per pool so the
-    three pools + task stages share the node without starving each
-    other."""
+    """Autoscaling actor-pool bounds sized to the session: min ≈ CPUs/8
+    so pools start warm instead of ramping one actor at a time (but ≥1
+    and small enough that three pools never deadlock a 4-CPU test
+    session), max ≈ half the CPUs per pool so the three pools + task
+    stages share the node without starving each other."""
     import os
 
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
     div = int(os.environ.get("NTTO_POOL_DIV", "2"))
-    return (1, max(2, cpus // div))
+    return (max(1, cpus // 8), max(2, cpus // div))
 
 
 @dataclass
@@ -57,7 +58,18 @@ class KGConfig:
     detector_concurrency: int | tuple[int, int] | None = None
     linker_concurrency: int | tuple[int, int] | None = None
     prefix_concurrency: int | tuple[int, int] | None = None
+    # Row-count batching for the post-expansion stages (linker, prefix):
+    # their input blocks are already tens of thousands of turn/triple rows,
+    # so batch_size only caps UDF-call size, not task parallelism.
     batch_size: int = 8192
+    # The DETECTOR stage must use batch_size=None (one task per input
+    # block): Ray fuses it with the upstream replicate/synth fan-out, so
+    # its batch size is measured in PRE-expansion document rows. A row
+    # count there (e.g. 8192 docs) makes the bundler coalesce every
+    # source block into one task — the whole extract phase ran serially
+    # (measured: 1 task at 32 CPUs, scaling efficiency 0.25). The source
+    # repartition already sizes blocks to ~60k downstream turns each.
+    detector_batch_size: int | None = None
     prefix_mode: str = "anchored"
     rules: list[Rule] = field(default_factory=pipeline_rules)
 
@@ -80,7 +92,7 @@ def extract_triples(
     annotated = transcripts.map_batches(
         MentionDetector,
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=cfg.detector_batch_size,
         concurrency=cfg.detector_concurrency,
     ).map_batches(
         EntityLinker,
@@ -134,7 +146,7 @@ def extract_abbrev_fused(
     return transcripts.map_batches(
         AnnotateEmitAbbrev,
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=cfg.detector_batch_size,
         concurrency=cfg.detector_concurrency,
         fn_constructor_kwargs={
             "aliases_ref": aliases_ref,
@@ -149,6 +161,7 @@ def build_graph(
     cfg: KGConfig | None = None,
     *,
     fused: bool = False,
+    keep_bucket: bool = False,
 ) -> ray.data.Dataset:
     """transcripts → canonical triples (subj, pred, obj, cnt). Lazy.
 
@@ -162,7 +175,7 @@ def build_graph(
         abbrev = extract_abbrev_fused(transcripts, cfg)
     else:
         abbrev = abbreviate(extract_triples(transcripts, cfg), cfg)
-    return canonicalize(abbrev)
+    return canonicalize(abbrev, keep_bucket=keep_bucket)
 
 
 def run_kg_pipeline(
@@ -173,15 +186,18 @@ def run_kg_pipeline(
     synthesize: bool = True,
     write: bool = False,
     replicate: int = 1,
+    keep_bucket: bool = False,
 ) -> ray.data.Dataset:
     """End-to-end: source → canonical triples; optionally materialize
-    adjacency Parquet + NDJSON under ``out_dir``."""
+    adjacency Parquet + NDJSON under ``out_dir``. ``keep_bucket=True``
+    keeps the subj_bucket column so a following ``write_adjacency``
+    reuses the canonicalize exchange's layout (no second all-to-all)."""
     cfg = cfg or KGConfig()
     if synthesize:
         transcripts = synth_transcripts(sf_dir, replicate=replicate)
     else:
         transcripts = read_transcripts(sf_dir)
-    canonical = build_graph(transcripts, cfg)
+    canonical = build_graph(transcripts, cfg, keep_bucket=keep_bucket or write)
     if write:
         assert out_dir is not None
         write_adjacency(canonical, f"{out_dir}/adjacency")

@@ -53,16 +53,17 @@ def _pack_dedup_batch(batch: pa.Table) -> pa.Table:
     return out.rename_columns(["k", "cnt"])
 
 
-def _unpack_batch(batch: pa.Table) -> pa.Table:
+def _unpack_batch(batch: pa.Table, *, keep_bucket: bool = False) -> pa.Table:
     parts = pc.split_pattern(batch["k"], _SEP, max_splits=2)
-    return pa.table(
-        {
-            "subj": pc.list_element(parts, 0),
-            "pred": pc.list_element(parts, 1),
-            "obj": pc.list_element(parts, 2),
-            "cnt": batch["cnt"],
-        }
-    )
+    cols = {
+        "subj": pc.list_element(parts, 0),
+        "pred": pc.list_element(parts, 1),
+        "obj": pc.list_element(parts, 2),
+        "cnt": batch["cnt"],
+    }
+    if keep_bucket and "subj_bucket" in batch.column_names:
+        cols["subj_bucket"] = batch["subj_bucket"]
+    return pa.table(cols)
 
 
 def _shuffle_parallelism() -> int:
@@ -120,15 +121,96 @@ def _block_dedup_mark(batch: pa.Table) -> pa.Table:
     return pa.table({"k": g["k"], "cnt": g["cnt"], "boundary": boundary})
 
 
-def canonicalize(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """triples (possibly with lineage cols) → canonical distinct triples
-    with total multiplicity ``cnt``.
+_PARTIAL_SCHEMA = pa.schema(
+    [("k", pa.string()), ("cnt", pa.int64()), ("subj_bucket", pa.int64())]
+)
 
-    Exchange plan: map-side combine + key pack → int-bucket sort (the
-    one all-to-all, on an int64 key) → per-block C++ dedup with
-    boundary marking → exact aggregate over only the boundary rows →
-    union. The materialize barrier holds deduped partials (result-scale,
-    object-store-resident and spillable), never raw triples."""
+SUBJ_BUCKETS = 64
+
+
+def subj_bucket_of(subj: pa.Array | pa.ChunkedArray, *, buckets: int):
+    """Deterministic subject → bucket id (polars siphash, seed 0) — the
+    ONE bucket function shared by the canonicalize exchange and the
+    adjacency layout, so canonical blocks ARE adjacency buckets."""
+    import numpy as np
+    import polars as pl
+
+    h = pl.from_arrow(subj).hash(seed=0).to_numpy().astype(np.uint64)
+    return (h % np.uint64(buckets)).astype(np.int64)
+
+
+def _bucket_partial(t: pa.Table, *, buckets: int) -> pa.Table:
+    """Attach subj_bucket to deduped partials (subj = k up to the first
+    NUL; one split kernel over the already-combined unique keys)."""
+    subj = pc.list_element(pc.split_pattern(t["k"], _SEP, max_splits=1), 0)
+    return t.append_column(
+        "subj_bucket", pa.array(subj_bucket_of(subj, buckets=buckets))
+    )
+
+
+def _block_dedup(t: pa.Table) -> pa.Table:
+    """Final dedup of one hash partition (identical triples share a
+    subject, hence a bucket, hence a partition — so one C++ hash
+    aggregate per block is globally exact)."""
+    if t.num_rows == 0 or "k" not in t.column_names:
+        return _PARTIAL_SCHEMA.empty_table()
+    g = (
+        t.select(["k", "cnt", "subj_bucket"])
+        .group_by(["k", "subj_bucket"])
+        .aggregate([("cnt", "sum")])
+    )
+    return g.rename_columns(["k", "subj_bucket", "cnt"]).select(
+        ["k", "cnt", "subj_bucket"]
+    )
+
+
+def canonicalize(
+    ds: ray.data.Dataset,
+    *,
+    keep_bucket: bool = False,
+    buckets: int = SUBJ_BUCKETS,
+) -> ray.data.Dataset:
+    """triples (possibly with lineage cols) → canonical distinct triples
+    with total multiplicity ``cnt`` (plus ``subj_bucket`` when
+    ``keep_bucket``).
+
+    Exchange plan: map-side combine + key pack → ONE hash-partitioned
+    exchange on the SUBJECT bucket → per-partition C++ hash aggregate →
+    unpack. Identical triples share a subject, so bucket partitioning
+    still co-locates every copy of a key in exactly one block and the
+    per-block aggregate is globally exact — with no boundary repair, no
+    mid-pipeline materialize and no second aggregate (the round-1
+    bucket-sort plan needed all three). Keying the exchange on the
+    subject bucket (rather than the triple hash) additionally makes the
+    output blocks BE the adjacency layout: ``write_adjacency`` on a
+    keep_bucket result needs no second exchange. Skew note: bucket
+    granularity is subjects, not triples — raise ``buckets`` (it is the
+    resume/file unit) if a corpus concentrates most edges in very few
+    subjects. ``NTTO_CANON_IMPL=sort`` keeps the round-1 plan for A/B."""
+    import os
+
+    if os.environ.get("NTTO_CANON_IMPL") == "sort":
+        return _canonicalize_bucket_sort(ds)
+    from ntto_ray.stages.exchange import hash_grouped
+
+    partial = ds.map_batches(_pack_dedup_batch, batch_format="pyarrow")
+    partial = partial.map_batches(
+        _bucket_partial, batch_format="pyarrow", fn_kwargs={"buckets": buckets}
+    )
+    grouped = hash_grouped(partial, ["subj_bucket"], sort=False)
+    out = grouped.map_batches(
+        _block_dedup, batch_size=None, batch_format="pyarrow"
+    )
+    return out.map_batches(
+        _unpack_batch, batch_format="pyarrow", fn_kwargs={"keep_bucket": keep_bucket}
+    )
+
+
+def _canonicalize_bucket_sort(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Round-1 plan: int-bucket sort + per-block dedup + boundary repair.
+
+    Kept for comparison: exact, but needs a repartition, a sort, a
+    materialize barrier and a residual exact aggregate."""
     partial = ds.map_batches(_pack_dedup_batch, batch_format="pyarrow")
     partial = partial.repartition(_shuffle_parallelism())
     bucketed = partial.map_batches(_add_bucket_batch, batch_format="pyarrow")

@@ -105,56 +105,10 @@ def _token_hashes(flat: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(flat, categorize=True).astype(_U)
 
 
-def _conform(t: pa.Table, schema: pa.Schema) -> pa.Table:
-    """Force a block to an exact schema. Ray's groupby/aggregate and join
-    operators emit schema-less EMPTY blocks under high parallelism; if one
-    of those reaches a pyarrow hash join partition, acero fails with 'No
-    match ... for key field'. Conforming every block (empty included)
-    before a join removes that failure mode."""
-    if t.num_rows == 0:
-        return schema.empty_table()
-    cols = []
-    for f in schema:
-        col = t[f.name]
-        if col.type != f.type:
-            col = col.cast(f.type)
-        cols.append(col)
-    return pa.Table.from_arrays(cols, schema=schema)
-
-
-def _hash_grouped(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
-    """Hash-partition ``ds`` by ``keys`` with each output block sorted by
-    them — the group-safe exchange for whole-block grouped kernels.
-
-    Unlike ``groupby().map_groups()`` under the default sort-shuffle
-    (range partitioning can split one key's run across output blocks when
-    a partition exceeds the target block size — observed as duplicated
-    keys), hash partitioning puts ALL rows of a key in exactly one block,
-    so a downstream ``map_batches(fn, batch_size=None)`` sees every group
-    whole. Scoped via the per-dataset context — the global strategy stays
-    sort-shuffle for the pipelines tuned on it."""
-    import ray as _ray
-    from ray.data.context import ShuffleStrategy
-
-    from ntto_ray.stages.canonicalize import _shuffle_parallelism
-
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    # The aggregator ACTOR pool costs ~0.3 s per actor to spin up; cap it
-    # at half the CPUs (partition count stays 2×CPUs — each aggregator
-    # just owns several partitions). Measured: 64 partitions / 16 actors
-    # = 2.5 s vs 64/64 = 21 s for the same 1 M-row exchange.
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    ds.context.max_hash_shuffle_aggregators = max(8, cpus // 2)
-    return ds.repartition(_shuffle_parallelism(), keys=keys, sort=True)
-
-
-def _runs(key: np.ndarray):
-    """(start, end) pairs of contiguous equal-key runs in a sorted array."""
-    if len(key) == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]).astype(np.int64)
-    ends = np.r_[starts[1:], len(key)]
-    return starts, ends
+# Shared helpers (see stages/exchange.py for the group-safety rationale).
+from ntto_ray.stages.exchange import conform as _conform  # noqa: E402
+from ntto_ray.stages.exchange import hash_grouped as _hash_grouped  # noqa: E402
+from ntto_ray.stages.exchange import runs as _runs  # noqa: E402
 
 
 def _dedupe_pairs(pairs: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:

@@ -1,0 +1,97 @@
+"""Shared exchange utilities: group-safe hash partitioning and
+schema-conforming helpers used by the dedup, ANN and materialize stages.
+
+Why not ``groupby().map_groups()``: under the default sort-shuffle, range
+partitioning can split one key's run across output blocks when a
+partition exceeds the target block size (observed as duplicated keys), so
+whole-block grouped kernels would see partial groups. Hash partitioning
+(`repartition(keys=..., sort=True)` with the HASH_SHUFFLE strategy) puts
+ALL rows of a key into exactly one block and sorts the block by the key,
+so ``map_batches(fn, batch_size=None)`` sees every group whole and
+contiguous.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def conform(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Force a block to an exact schema. Ray's groupby/aggregate and join
+    operators emit schema-less EMPTY blocks under high parallelism; if one
+    of those reaches a pyarrow hash join/sort, acero fails with 'No match
+    ... for key field'. Conforming every block (empty included) before a
+    keyed exchange removes that failure mode."""
+    if t.num_rows == 0:
+        return schema.empty_table()
+    cols = []
+    for f in schema:
+        col = t[f.name]
+        if col.type != f.type:
+            col = col.cast(f.type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def shuffle_parallelism() -> int:
+    """Target partition count for wide ops — ≥ 2×CPUs so every core owns
+    several partitions (re-exported for stages that only need this)."""
+    from ntto_ray.stages.canonicalize import _shuffle_parallelism
+
+    return _shuffle_parallelism()
+
+
+def hash_grouped(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    parallelism: int | None = None,
+    sort: bool = True,
+) -> ray.data.Dataset:
+    """Hash-partition ``ds`` by ``keys`` with each output block sorted by
+    them — the group-safe exchange for whole-block grouped kernels.
+
+    The aggregator ACTOR pool costs ~0.3 s per actor to spin up; cap it at
+    half the CPUs (partition count stays 2×CPUs — each aggregator just
+    owns several partitions). Measured: 64 partitions / 16 actors = 2.5 s
+    vs 64/64 = 21 s for the same 1M-row exchange. Scoped via the
+    per-dataset context — the global strategy stays sort-shuffle for the
+    pipelines tuned on it."""
+    from ray.data.context import ShuffleStrategy
+
+    nparts = parallelism or shuffle_parallelism()
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ctx = ds.context
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = max(1, min(16, cpus // 2))
+    # Aggregator actors RESERVE CPU for the lifetime of the exchange while
+    # upstream actor pools hold theirs — on a small session the default
+    # reservation (min(1, CPU/2/partition) per partition) deadlocks the
+    # topology (observed: 4-CPU session, 3 actor pools + aggregators =
+    # 4/4 CPU used, one 1-CPU task pending forever). Reserve ~CPUs/4 in
+    # total for aggregators on big sessions and a token ε on small ones —
+    # finalize work transiently oversubscribes instead of deadlocking.
+    per_part = min(1.0, (cpus / 4) / nparts) if cpus >= 16 else 0.0
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
+    # The per-dataset context flows DOWNSTREAM: a later groupby() on the
+    # returned dataset also plans as a hash aggregate and reads its own
+    # override knob — set it too or that operator reverts to the default
+    # reservation and re-introduces the deadlock.
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
+    # sort=False still co-locates all rows of a key in one block — pass
+    # False when the downstream kernel is a hash aggregate that doesn't
+    # need contiguous runs (skips a per-partition sort).
+    return ds.repartition(nparts, keys=keys, sort=sort)
+
+
+def runs(key: np.ndarray):
+    """(start, end) pairs of contiguous equal-key runs in a sorted array."""
+    if len(key) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]).astype(np.int64)
+    ends = np.r_[starts[1:], len(key)]
+    return starts, ends

@@ -91,9 +91,22 @@ class NDJSONLinesSink(BlockBasedFileDatasink):
 
     def write_block_to_file(self, block: BlockAccessor, file) -> None:
         tbl = block.to_arrow()
-        col = tbl["line"].combine_chunks()
-        buf = ("\n".join(col.to_pylist()) + "\n").encode("utf-8")
-        file.write(buf)
+        # append "\n" per line, then write the string array's VALUES
+        # buffer directly — the concatenated bytes of all lines, no
+        # Python-level join over millions of strings
+        col = pc.binary_join_element_wise(
+            tbl["line"].combine_chunks(), pa.scalar("\n"), ""
+        )
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count == 0 and len(col):
+            off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+            offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+                col.offset : col.offset + len(col) + 1
+            ]
+            file.write(memoryview(col.buffers()[2])[offs[0] : offs[-1]])
+        elif len(col):
+            file.write("".join(col.to_pylist()).encode("utf-8"))
 
 
 def write_ndjson(triples: ray.data.Dataset, path: str) -> None:
@@ -112,6 +125,12 @@ def _add_subj_bucket(batch: pa.Table, *, buckets: int) -> pa.Table:
     )
 
 
+def _sort_block_by_subj(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0 or "subj" not in t.column_names:
+        return t
+    return t.sort_by([("subj", "ascending")])
+
+
 def write_adjacency(
     canonical: ray.data.Dataset,
     path: str,
@@ -122,13 +141,28 @@ def write_adjacency(
     """Materialize canonical triples as Parquet adjacency partitioned by
     subject hash bucket (``partition_cols=["subj_bucket"]``): co-locates
     each subject's edges, bounds file sizes, and gives a rerun a
-    per-bucket resume unit. ``sort=True`` additionally range-sorts by
-    subject so each bucket's row groups are subject-clustered."""
-    ds = canonical.map_batches(
-        _add_subj_bucket, batch_format="pyarrow", fn_kwargs={"buckets": buckets}
-    )
-    if sort:
-        from ntto_ray.stages.canonicalize import _shuffle_parallelism
+    per-bucket resume unit. ``sort=True`` additionally sorts each bucket
+    by subject so its row groups are subject-clustered.
 
-        ds = ds.repartition(_shuffle_parallelism()).sort("subj")
+    At most one hash exchange on the bucket id + a per-block C++ sort —
+    NOT a global range sort: a global sort is a second all-to-all whose
+    output blocks each straddle many hash buckets, so the partitioned
+    write shredded every block into up to ``buckets`` tiny files.
+
+    If ``canonical`` already carries a ``subj_bucket`` column (the
+    ``canonicalize(keep_bucket=True)`` path), its blocks ARE the bucket
+    partitions — no exchange at all, just the per-block sort + write."""
+    if "subj_bucket" in (canonical.schema().names or []):
+        ds = canonical
+    else:
+        from ntto_ray.stages.exchange import hash_grouped
+
+        ds = canonical.map_batches(
+            _add_subj_bucket, batch_format="pyarrow", fn_kwargs={"buckets": buckets}
+        )
+        ds = hash_grouped(ds, ["subj_bucket"], parallelism=buckets, sort=False)
+    if sort:
+        ds = ds.map_batches(
+            _sort_block_by_subj, batch_size=None, batch_format="pyarrow"
+        )
     ds.write_parquet(path, partition_cols=["subj_bucket"])

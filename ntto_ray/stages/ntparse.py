@@ -21,9 +21,14 @@ import ray.data
 
 from ntto_ray.core import _GO_WS, BrokenInputError, parse_ntriple
 
-# well-formed fast path: exactly 3 non-space tokens (+ optional final dot),
-# single-space separated — covers canonical NT output and abbreviated lines.
-_FAST_RX = r"^(?P<s>[^ \t]+)[ \t]+(?P<p>[^ \t]+)[ \t]+(?P<o>[^ \t]+)(?:[ \t]+\.)?$"
+# well-formed fast path: exactly 3 tokens (+ optional final dot). The
+# separator/token classes use the full Go-whitespace set (_GO_WS), not
+# just ASCII space/tab — strings.Fields splits on NBSP, NEL and the
+# U+2000-U+3000 space separators too, so a line like '<a> <b> <c\xa0d> .'
+# must MISS the fast path and take the scalar parser (which yields
+# obj 'c d'), keeping the module's exact-parity contract.
+_WS = _GO_WS
+_FAST_RX = rf"^(?P<s>[^{_WS}]+)[{_WS}]+(?P<p>[^{_WS}]+)[{_WS}]+(?P<o>[^{_WS}]+)(?:[{_WS}]+\.)?$"
 
 
 def _trim(arr: pa.Array) -> pa.Array:

@@ -176,6 +176,24 @@ def apply_rules_ordered_array(
     return arr
 
 
+class RawLineAbbrev:
+    """``-a``-only CLI stage with byte parity to the reference: the
+    reference's abbreviate path never parses — it pipes raw NT lines
+    through ordered global replaces (``perl s@prefix@shortcut:@g`` per
+    rule, common.go:104-127) — so this stage applies the same ordered
+    replace chain directly to the raw ``text`` column. Literal objects,
+    terminal dots and whitespace all round-trip byte-identically
+    (round 1 parsed + re-rendered, which rewrote literals as IRIs)."""
+
+    def __init__(self, rules: list[tuple[str, str]], null: str = NULL_SENTINEL):
+        self._rules = [Rule(shortcut=s, prefix=p) for s, p in rules]
+        self._null = null
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = apply_rules_ordered_array(batch["text"], self._rules, self._null)
+        return pa.table({"line": out})
+
+
 class PrefixCut:
     """Actor-pool ``map_batches`` stage applying abbreviation to the triple
     columns. The compiled rule table is built once per actor in

@@ -59,6 +59,33 @@ class CheckpointManifest:
             f.write(json.dumps(rec, sort_keys=True) + "\n")
 
 
+def content_fingerprint(paths: str | list[str]) -> str:
+    """Fingerprint of the INPUT DATA (not its path): blake2 over each
+    file's (relative name, size, mtime_ns). A resumed run whose data
+    changed under the same path re-runs instead of silently skipping.
+    Directories are walked recursively; order is deterministic."""
+    import hashlib
+
+    if isinstance(paths, str):
+        paths = [paths]
+    h = hashlib.blake2b(digest_size=16)
+    for root in sorted(paths):
+        if os.path.isdir(root):
+            files = sorted(
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(root)
+                for f in fs
+            )
+        else:
+            files = [root]
+        for f in files:
+            st = os.stat(f)
+            h.update(
+                f"{os.path.relpath(f, root)}|{st.st_size}|{st.st_mtime_ns}\n".encode()
+            )
+    return h.hexdigest()
+
+
 def run_partitioned(
     *,
     num_partitions: int,
@@ -75,12 +102,18 @@ def run_partitioned(
     results: list[PartitionResult] = []
     for pid in range(num_partitions):
         rec = done.get(pid)
-        if rec is not None and rec.get("fingerprint") == fingerprint:
+        final = os.path.join(out_dir, f"part={pid}")
+        # skip only when the committed OUTPUT still exists on disk —
+        # a manifest line with a deleted part dir must re-run
+        if (
+            rec is not None
+            and rec.get("fingerprint") == fingerprint
+            and os.path.isdir(final)
+        ):
             results.append(PartitionResult(pid, rec["rows"], 0.0, skipped=True))
             continue
         t0 = time.time()
         ds = make_partition_ds(pid, num_partitions)
-        final = os.path.join(out_dir, f"part={pid}")
         tmp = final + ".tmp"
         if os.path.exists(tmp):
             import shutil
@@ -118,9 +151,12 @@ def _count_parquet_rows(path: str) -> int:
 
 
 def conv_partition_filter(pid: int, num_partitions: int):
-    """Deterministic conv_id → partition assignment (blake2 of the
-    conv_id string, mod P) as a vectorized batch filter — the partition
-    key every stage reuses."""
+    """Deterministic conv_id → partition assignment (pandas
+    ``hash_array`` — 64-bit siphash with pandas' fixed default key —
+    of the conv_id string, mod P) as a vectorized batch filter — the
+    partition key every stage reuses. To reproduce the assignment
+    outside this engine, use pandas' hash_array with default settings;
+    it is stable across processes and versions by contract."""
     import pandas as pd
     import numpy as np
     import pyarrow as pa
