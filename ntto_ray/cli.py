@@ -57,12 +57,39 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-r", default="", metavar="RULESFILE")
     ap.add_argument("-v", action="store_true", help="print version and exit")
     ap.add_argument("-w", type=int, default=None, metavar="N")
+    ap.add_argument(
+        "-cpuprofile",
+        default="",
+        metavar="FILE",
+        help="write a driver CPU profile to FILE (reference parity, "
+        "ntto.go:87-94; Go writes pprof, this writes cProfile pstats)",
+    )
     ap.add_argument("--sed-parity", action="store_true")
     ap.add_argument("--kg-sf-dir", default="", help="run the KG pipeline over this sf dir")
     ap.add_argument("--kg-out", default="/tmp/ntto_ray_kg")
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("file", nargs="?", default="")
     args = ap.parse_args(argv)
+
+    if args.cpuprofile:
+        # reference parity (ntto.go:87-94): profile the whole command.
+        # Driver-side only — distributed task profiles live in Ray's
+        # timeline/stats, not a single-process pprof.
+        import cProfile
+
+        prof = cProfile.Profile()
+        args.cpuprofile, out = "", args.cpuprofile
+        prof.enable()
+        try:
+            return _dispatch(args, ap)
+        finally:
+            prof.disable()
+            prof.dump_stats(out)
+    return _dispatch(args, ap)
+
+
+def _dispatch(args, ap) -> int:
+    from ntto_ray import core
 
     if args.v:
         print(core.APP_VERSION)

@@ -187,17 +187,28 @@ def run_kg_pipeline(
     write: bool = False,
     replicate: int = 1,
     keep_bucket: bool = False,
+    fused: bool = True,
 ) -> ray.data.Dataset:
     """End-to-end: source → canonical triples; optionally materialize
     adjacency Parquet + NDJSON under ``out_dir``. ``keep_bucket=True``
     keeps the subj_bucket column so a following ``write_adjacency``
-    reuses the canonicalize exchange's layout (no second all-to-all)."""
+    reuses the canonicalize exchange's layout (no second all-to-all).
+
+    Default ``fused=True``: the headline path runs detector → linker →
+    emit → prefix in ONE actor pool (same component stages, composed in
+    one ``__call__``) — fewer object-store hops, no three-pool
+    autoscaler contention, and it runs on sessions as small as 2 CPUs
+    where three 1-actor pools plus a task would deadlock. The unfused
+    per-stage topology stays exercised (with oracles) by the
+    kg_triples_raw / kg_triples_abbrev queries."""
     cfg = cfg or KGConfig()
     if synthesize:
         transcripts = synth_transcripts(sf_dir, replicate=replicate)
     else:
         transcripts = read_transcripts(sf_dir)
-    canonical = build_graph(transcripts, cfg, keep_bucket=keep_bucket or write)
+    canonical = build_graph(
+        transcripts, cfg, fused=fused, keep_bucket=keep_bucket or write
+    )
     if write:
         assert out_dir is not None
         write_adjacency(canonical, f"{out_dir}/adjacency")

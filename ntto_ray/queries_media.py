@@ -70,8 +70,59 @@ def media_frame_sample(sf_dir: str):
     )
 
 
-@register("media_decode_features", oracle=None)  # stubbed decoder — tests pin it
+@register(
+    "media_decode_features",
+    oracle="""
+WITH img AS (
+  -- mirrors synth_media + the fake DecodeImage chain exactly: payload
+  -- hex = repeat(sha256(id-as-string)), feature byte j = hex pair j of
+  -- sha256(payload hex), scaled /256 (exact in binary float)
+  SELECT event_id AS media_id,
+         CAST(64 + (event_id % 8) * 32 AS INTEGER) AS width,
+         CAST(64 + (event_id % 5) * 32 AS INTEGER) AS height,
+         sha256(repeat(sha256(CAST(event_id AS VARCHAR)), 4 + event_id % 4)) AS fh
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT media_id, width, height,
+       CAST(((strpos('0123456789abcdef', substr(fh, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(fh, 2, 1)) - 1)) / 256.0 AS FLOAT) AS f0,
+       CAST(((strpos('0123456789abcdef', substr(fh, 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(fh, 4, 1)) - 1)) / 256.0 AS FLOAT) AS f1,
+       CAST(((strpos('0123456789abcdef', substr(fh, 5, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(fh, 6, 1)) - 1)) / 256.0 AS FLOAT) AS f2,
+       CAST(((strpos('0123456789abcdef', substr(fh, 7, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(fh, 8, 1)) - 1)) / 256.0 AS FLOAT) AS f3,
+       CAST(((strpos('0123456789abcdef', substr(fh, 9, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(fh, 10, 1)) - 1)) / 256.0 AS FLOAT) AS f4,
+       CAST(((strpos('0123456789abcdef', substr(fh, 11, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(fh, 12, 1)) - 1)) / 256.0 AS FLOAT) AS f5,
+       CAST(((strpos('0123456789abcdef', substr(fh, 13, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(fh, 14, 1)) - 1)) / 256.0 AS FLOAT) AS f6,
+       CAST(((strpos('0123456789abcdef', substr(fh, 15, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(fh, 16, 1)) - 1)) / 256.0 AS FLOAT) AS f7
+FROM img
+""",
+)
 def media_decode_features(sf_dir: str):
+    """The stage emits feature as list<float32>; the registered query
+    flattens it to f0..f7 scalar columns so the driver's row-sorting
+    value compare (which cannot sort list cells) stays applicable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from ntto_ray.stages.multimodal import decode_features
 
-    return decode_features(_media(sf_dir), fake=True)
+    def flatten(t: pa.Table) -> pa.Table:
+        feat = t["feature"].combine_chunks()
+        cols = {
+            "media_id": t["media_id"],
+            "width": t["width"],
+            "height": t["height"],
+        }
+        for j in range(8):
+            cols[f"f{j}"] = pc.list_element(feat, j)
+        return pa.table(cols)
+
+    return decode_features(_media(sf_dir), fake=True).map_batches(
+        flatten, batch_format="pyarrow"
+    )

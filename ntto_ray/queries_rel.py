@@ -194,26 +194,45 @@ GROUP BY n.n_name
 """,
 )
 def rel_nation_revenue(sf_dir: str):
-    """Two-table broadcast join on tiny dims (supplier × nation)."""
+    """Two-table broadcast join on tiny dims (supplier × nation):
+    sorted-key searchsorted lookup (the JoinSegment pattern) — one
+    vectorized probe per batch, INNER-join semantics (unmatched nation
+    keys are dropped, matching the oracle's JOIN)."""
     import ray
     from ray.data.aggregate import Count, Sum
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    ref = ray.put(nmap)
+    nation = (
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+        .to_pandas()
+        .sort_values("n_nationkey")
+    )
+    ref = ray.put((nation["n_nationkey"].to_numpy(), nation["n_name"].to_numpy()))
 
-    def join(t: pa.Table, *, ref=ref) -> pa.Table:
-        nmap = ray.get(ref)
-        nk = t["s_nationkey"].to_pylist()
-        names = [nmap.get(k) for k in nk]
-        return pa.Table.from_arrays(
-            [pa.array(names, type=pa.string()), _cents(t["s_acctbal"])],
-            names=["n_name", "acct_c"],
-        )
+    class JoinNation:
+        def __init__(self, ref):
+            self.keys, self.names = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = t["s_nationkey"].to_numpy()
+            idx = np.searchsorted(self.keys, nk)
+            ok = (idx < len(self.keys)) & (
+                self.keys[np.minimum(idx, len(self.keys) - 1)] == nk
+            )
+            t = t.filter(pa.array(ok))
+            names = self.names[idx[ok]]
+            return pa.Table.from_arrays(
+                [pa.array(names, type=pa.string()), _cents(t["s_acctbal"])],
+                names=["n_name", "acct_c"],
+            )
 
     sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     return (
-        sup.map_batches(join, batch_format="pyarrow")
+        sup.map_batches(
+            JoinNation,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"ref": ref},
+        )
         .groupby("n_name")
         .aggregate(Sum("acct_c", alias_name="acct_c"), Count(alias_name="num_suppliers"))
     )

@@ -87,7 +87,35 @@ def dedup_minhash_lsh(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
-@register("dedup_simhash", oracle=None)  # deterministic but not SQL-expressible
+@register(
+    "dedup_simhash",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th AS (
+  -- token hash = md5 digest bytes [:8] little-endian, parsed from the
+  -- hex string (byte j = hex pair j, weight 256^j) — exactly
+  -- SimHasher._uniq_hashes (stages/dedup.py)
+  SELECT doc_id,
+    (SELECT CAST(sum(
+        CAST((strpos('0123456789abcdef', substr(md5(tok), 2*j+1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(tok), 2*j+2, 1)) - 1) AS HUGEINT)
+        * CAST(power(2, 8*j) AS HUGEINT)) AS UBIGINT)
+     FROM (SELECT unnest(generate_series(0, 7)) AS j)) AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bits
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END) AS UBIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
 def dedup_simhash(sf_dir: str):
     from ntto_ray.stages.dedup import simhash_fingerprints
 
@@ -167,7 +195,37 @@ def text_langid(sf_dir: str):
     return langid(_docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
-@register("text_fingerprints", oracle=None)  # rolling-hash part not SQL-expressible
+@register(
+    "text_fingerprints",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+  FROM documents
+),
+w AS (
+  -- per-window polynomial hash sum(byte_k * 257^k, k=0..7) mod 2^64 —
+  -- exactly fingerprint_batch's uint64 arithmetic (stages/text.py)
+  SELECT doc_id,
+         (CAST(ascii(substr(text, i, 1)) AS HUGEINT)
+          + ascii(substr(text, i+1, 1)) * CAST(257 AS HUGEINT)
+          + ascii(substr(text, i+2, 1)) * CAST(66049 AS HUGEINT)
+          + ascii(substr(text, i+3, 1)) * CAST(16974593 AS HUGEINT)
+          + ascii(substr(text, i+4, 1)) * CAST(4362470401 AS HUGEINT)
+          + ascii(substr(text, i+5, 1)) * CAST(1121154893057 AS HUGEINT)
+          + ascii(substr(text, i+6, 1)) * CAST(288136807515649 AS HUGEINT)
+          + ascii(substr(text, i+7, 1)) * CAST(74051159531521793 AS HUGEINT)
+         ) % CAST('18446744073709551616' AS HUGEINT) AS h
+  FROM pos
+),
+r AS (
+  SELECT doc_id,
+         CAST(min(h) % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS rolling_min64
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id, md5(d.text) AS md5, r.rolling_min64
+FROM documents d JOIN r USING (doc_id)
+""",
+)
 def text_fingerprints(sf_dir: str):
     from ntto_ray.stages.text import fingerprints
 
@@ -231,7 +289,44 @@ def ann_bruteforce_topk(sf_dir: str):
     return brute_force_topk(_emb(sf_dir), ids, m, k=10)
 
 
-@register("ann_lsh_topk", oracle=None)  # approximate by design
+def _lsh_oracle_sql(dim: int = 64, nbits: int = 8) -> str:
+    """Exact SQL mirror of hyperplane-LSH top-k: the seeded hyperplanes
+    (RandomState(7), ann.HyperplaneLSH) are INLINED as double literals
+    (Python repr round-trips to the identical IEEE double in DuckDB), so
+    the 'approximate' ANN is still a deterministic function of the data
+    and fully oracle-checkable."""
+    rng = np.random.RandomState(7)
+    planes = rng.standard_normal((dim, nbits))
+    plane_rows = ",".join(
+        f"({j}, CAST([{','.join(repr(v) for v in planes[:, j])}] AS DOUBLE[]))"
+        for j in range(nbits)
+    )
+    return f"""
+WITH planes(j, p) AS (SELECT * FROM (VALUES {plane_rows})),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.v, p.p) > 0
+                    THEN CAST(1 AS BIGINT) << p.j ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes p GROUP BY e.vec_id
+),
+q AS (
+  SELECT e.vec_id AS qid, e.v AS qv, b.bucket FROM e JOIN b USING (vec_id)
+  WHERE e.vec_id IN {_ANN_QUERY_IDS}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id ASC
+         ) AS rank
+  FROM q JOIN b ON b.bucket = q.bucket JOIN e ON e.vec_id = b.vec_id
+  WHERE e.vec_id != q.qid
+)
+SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank FROM scored WHERE rank <= 10
+"""
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle_sql())
 def ann_lsh_topk(sf_dir: str):
     from ntto_ray.stages.ann import lsh_topk
 

@@ -286,24 +286,112 @@ def ivf_topk(
 
 
 def cosine_pairs(
-    embeddings: ray.data.Dataset, *, threshold: float = 0.4
+    embeddings: ray.data.Dataset, *, threshold: float = 0.4, tile: int = 4096
 ) -> ray.data.Dataset:
     """Embedding near-dup pairs: cosine ≥ threshold among vectors sharing
     a ``label`` block (the blocking assumption — near-dups share label).
-    In-block all-pairs matmul per group."""
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = sims[a, b] >= threshold
-        return pd.DataFrame(
-            {
-                "vec_a": pd.Series(ids[a[keep]], dtype="int64"),
-                "vec_b": pd.Series(ids[b[keep]], dtype="int64"),
-            }
+    Exact all-pairs within label, as a distributed BLOCK-NESTED-LOOP
+    rather than one monolithic per-group matmul (round 1's shape, whose
+    memory AND compute both sat on one task as groups grow):
+
+    1. one hash exchange co-locates each label; rows are cut into tiles
+       of ``tile`` vectors;
+    2. each ordered tile pair (i ≤ j) is emitted as ONE row carrying the
+       two packed float32 tile matrices (binary blobs);
+    3. a stateless map_batches scores tile pairs — so per-task memory is
+       bounded by 2 tiles regardless of group size, and the O(G²/tile²)
+       tile-pair FLOPs spread across the cluster instead of serializing
+       on the task that owns the biggest label.
+
+    Replication cost: each tile ships to ntiles partners (the standard
+    distributed all-pairs trade); per-label data on the wire grows
+    G·ntiles — sub-quadratic for any fixed tile size, and exact (the
+    oracle stays a plain SQL self-join)."""
+    import pyarrow as pa
+
+    from ntto_ray.stages.exchange import hash_grouped, runs as _runs
+
+    _PAIRS = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    _TILES = pa.schema(
+        [
+            ("ids_a", pa.binary()),
+            ("m_a", pa.binary()),
+            ("ids_b", pa.binary()),
+            ("m_b", pa.binary()),
+            ("same", pa.bool_()),
+        ]
+    )
+
+    def emit_tile_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "label" not in t.column_names:
+            return _TILES.empty_table()
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        ids_all = t["vec_id"].to_numpy()
+        m_all = _normalize(_emb_matrix(t)).astype(np.float32)
+        rows: dict[str, list] = {k: [] for k in _TILES.names}
+        starts, ends = _runs(lab)
+        for s, e in zip(starts, ends):
+            order = np.argsort(ids_all[s:e], kind="stable")
+            ids = ids_all[s:e][order]
+            m = m_all[s:e][order]
+            tiles = [
+                (ids[i : i + tile], m[i : i + tile])
+                for i in range(0, len(ids), tile)
+            ]
+            for i, (ia, ma) in enumerate(tiles):
+                for j in range(i, len(tiles)):
+                    ib, mb = tiles[j]
+                    rows["ids_a"].append(ia.tobytes())
+                    rows["m_a"].append(ma.tobytes())
+                    rows["ids_b"].append(ib.tobytes())
+                    rows["m_b"].append(mb.tobytes())
+                    rows["same"].append(i == j)
+        return pa.Table.from_arrays(
+            [
+                pa.array(rows["ids_a"], type=pa.binary()),
+                pa.array(rows["m_a"], type=pa.binary()),
+                pa.array(rows["ids_b"], type=pa.binary()),
+                pa.array(rows["m_b"], type=pa.binary()),
+                pa.array(rows["same"], type=pa.bool_()),
+            ],
+            schema=_TILES,
         )
 
-    return embeddings.groupby("label").map_groups(pairs, batch_format="pandas")
+    def score_tiles(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ids_a" not in t.column_names:
+            return _PAIRS.empty_table()
+        out_a, out_b = [], []
+        for r in range(t.num_rows):
+            ia = np.frombuffer(t["ids_a"][r].as_py(), dtype=np.int64)
+            ib = np.frombuffer(t["ids_b"][r].as_py(), dtype=np.int64)
+            ma = np.frombuffer(t["m_a"][r].as_py(), dtype=np.float32).reshape(
+                len(ia), -1
+            )
+            mb = np.frombuffer(t["m_b"][r].as_py(), dtype=np.float32).reshape(
+                len(ib), -1
+            )
+            sims = ma.astype(np.float64) @ mb.astype(np.float64).T
+            if t["same"][r].as_py():
+                a, b = np.triu_indices(len(ia), k=1)
+                keep = sims[a, b] >= threshold
+                out_a.append(ia[a[keep]])
+                out_b.append(ib[b[keep]])
+            else:
+                a, b = np.nonzero(sims >= threshold)
+                out_a.append(ia[a])
+                out_b.append(ib[b])
+        if not out_a:
+            return _PAIRS.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_a)),
+                pa.array(np.concatenate(out_b)),
+            ],
+            schema=_PAIRS,
+        )
+
+    grouped = hash_grouped(embeddings, ["label"])
+    tiles = grouped.map_batches(emit_tile_pairs, batch_size=None, batch_format="pyarrow")
+    # small batches: each row is ~2·tile·dim·4 bytes of matrix payload
+    return tiles.map_batches(score_tiles, batch_size=8, batch_format="pyarrow")

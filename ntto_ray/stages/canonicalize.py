@@ -197,7 +197,11 @@ def canonicalize(
     partial = partial.map_batches(
         _bucket_partial, batch_format="pyarrow", fn_kwargs={"buckets": buckets}
     )
-    grouped = hash_grouped(partial, ["subj_bucket"], sort=False)
+    # partitions = buckets (a DATA-dependent constant): the key has only
+    # ``buckets`` distinct values, so more partitions than buckets would
+    # be empty, and fewer would re-shard at the sink — and the shuffle's
+    # map-side slicing work stays identical across cluster sizes.
+    grouped = hash_grouped(partial, ["subj_bucket"], parallelism=buckets, sort=False)
     out = grouped.map_batches(
         _block_dedup, batch_size=None, batch_format="pyarrow"
     )

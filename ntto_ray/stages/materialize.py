@@ -20,6 +20,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.block import BlockAccessor
 from ray.data.datasource import BlockBasedFileDatasink
+from ray.data.datasource.filename_provider import FilenameProvider
 
 from ntto_ray.core import Triple, render_ndjson_line
 
@@ -82,11 +83,21 @@ def render_ndjson_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays([lines], names=["line"])
 
 
+class _StableNames(FilenameProvider):
+    """Deterministic part names (``part-<task>-<block>.ldj``) instead of
+    Ray's default ``<write_uuid>_...`` — byte-stable reruns need stable
+    names, and a resumed run can overwrite parts idempotently."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index, block_index):
+        return f"part-{task_index:06d}-{block_index:06d}.ldj"
+
+
 class NDJSONLinesSink(BlockBasedFileDatasink):
     """Distributed sink writing the ``line`` column raw, one NDJSON file
     per block."""
 
     def __init__(self, path: str, **kwargs):
+        kwargs.setdefault("filename_provider", _StableNames())
         super().__init__(path, file_format="ldj", **kwargs)
 
     def write_block_to_file(self, block: BlockAccessor, file) -> None:
@@ -109,9 +120,31 @@ class NDJSONLinesSink(BlockBasedFileDatasink):
             file.write("".join(col.to_pylist()).encode("utf-8"))
 
 
-def write_ndjson(triples: ray.data.Dataset, path: str) -> None:
+def _sort_block_triples(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return t
+    keys = [(c, "ascending") for c in ("subj", "pred", "obj") if c in t.column_names]
+    return t.sort_by(keys) if keys else t
+
+
+def write_ndjson(
+    triples: ray.data.Dataset, path: str, *, stable: bool = True
+) -> None:
     """Render + write ntto-style NDJSON to ``path`` (a directory of .ldj
-    part files — resumable layout, never one giant file)."""
+    part files — resumable layout, never one giant file).
+
+    ``stable=True`` (default) makes two runs over the same input
+    byte-identical — the reference's ``-w``>1 channel fan-in is
+    explicitly order-nondeterministic (ntto.go:174-199); this sink fixes
+    that: ``preserve_order`` pins the executor's block order to the
+    (deterministic) input order, and a per-block C++ sort on
+    (subj, pred, obj) pins row order WITHIN each block, which an
+    upstream hash exchange otherwise leaves at shard-arrival order."""
+    if stable:
+        triples.context.execution_options.preserve_order = True
+        triples = triples.map_batches(
+            _sort_block_triples, batch_size=None, batch_format="pyarrow"
+        )
     lines = triples.map_batches(render_ndjson_batch, batch_format="pyarrow")
     lines.write_datasink(NDJSONLinesSink(path))
 
@@ -126,9 +159,13 @@ def _add_subj_bucket(batch: pa.Table, *, buckets: int) -> pa.Table:
 
 
 def _sort_block_by_subj(t: pa.Table) -> pa.Table:
+    """Full (subj, pred, obj) block sort: subject-clusters the row groups
+    AND makes each bucket's parquet bytes deterministic across runs (a
+    subj-only sort leaves tie order at shard-arrival order)."""
     if t.num_rows == 0 or "subj" not in t.column_names:
         return t
-    return t.sort_by([("subj", "ascending")])
+    keys = [(c, "ascending") for c in ("subj", "pred", "obj") if c in t.column_names]
+    return t.sort_by(keys)
 
 
 def write_adjacency(

@@ -47,9 +47,10 @@ def synth_media(sf_dir: str, *, per_event: int = 1) -> ray.data.Dataset:
     def mk(t: pa.Table) -> pa.Table:
         ids = t["event_id"].to_numpy()
         kinds = np.array(["image", "audio", "video"], dtype=object)[ids % 3]
+        # sha256 over the DECIMAL-STRING id (not raw bytes) so the whole
+        # chain is mirrorable in SQL: repeat(sha256(CAST(id AS VARCHAR)))
         payloads = [
-            hashlib.blake2b(int(i).to_bytes(8, "little"), digest_size=32).digest()
-            * (4 + int(i) % 4)
+            hashlib.sha256(str(int(i)).encode()).digest() * (4 + int(i) % 4)
             for i in ids
         ]
         mimes = np.array(["image/png", "audio/wav", "video/mp4"], dtype=object)[ids % 3]
@@ -88,10 +89,13 @@ class DecodeImage:
                 "image decode requires PIL/cv2 (not in this container); "
                 "construct with fake=True for the deterministic stub"
             )
+        # fake feature = first 8 bytes of sha256 over the payload's HEX
+        # string, scaled by /256 (exact in binary float, so the DuckDB
+        # oracle's DOUBLE→FLOAT cast cannot double-round differently)
         feats = []
         for payload in t["payload"].to_pylist():
-            h = hashlib.blake2b(payload, digest_size=32).digest()
-            feats.append(np.frombuffer(h, dtype=np.uint8)[:8].astype(np.float32) / 255.0)
+            h = hashlib.sha256(payload.hex().encode()).digest()
+            feats.append(np.frombuffer(h, dtype=np.uint8)[:8].astype(np.float32) / 256.0)
         return pa.Table.from_arrays(
             [
                 t["media_id"],

@@ -59,6 +59,41 @@ class CheckpointManifest:
             f.write(json.dumps(rec, sort_keys=True) + "\n")
 
 
+def stage_metrics(ds: ray.data.Dataset) -> list[dict]:
+    """Compact per-stage lineage from an EXECUTED dataset's stats: one
+    record per operator with wall-clock span, task count and output rows
+    — the manifest-friendly subset of ``ds.stats()`` (whose full text is
+    driver-log-sized). Parsing the formatted stats keeps us off Ray's
+    internal stats classes, which have no stable public surface."""
+    import re
+
+    out: list[dict] = []
+    try:
+        text = ds.stats()
+    except Exception:
+        return out
+    op = None
+    for line in text.splitlines():
+        m = re.match(
+            r"Operator (\d+) (.+?): (?:(\d+) tasks executed, )?"
+            r"(?:\d+ blocks produced in |executed in )([\d.]+)s",
+            line.strip(),
+        )
+        if m:
+            op = {
+                "stage": m.group(2)[:120],
+                "tasks": int(m.group(3)) if m.group(3) else None,
+                "wall_sec": float(m.group(4)),
+                "rows_out": None,
+            }
+            out.append(op)
+            continue
+        m = re.match(r"\* Output num rows per block:.* (\d+) total", line.strip())
+        if m and op is not None and op["rows_out"] is None:
+            op["rows_out"] = int(m.group(1))
+    return out
+
+
 def content_fingerprint(paths: str | list[str]) -> str:
     """Fingerprint of the INPUT DATA (not its path): blake2 over each
     file's (relative name, size, mtime_ns). A resumed run whose data
@@ -135,6 +170,7 @@ def run_partitioned(
                 "fingerprint": fingerprint,
                 "rows": rows,
                 "seconds": round(secs, 3),
+                "stages": stage_metrics(ds),
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
         )

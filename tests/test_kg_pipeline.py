@@ -45,3 +45,15 @@ def test_degrees_match_oracle(ray_session, duck):
     cols = ["subj", "degree", "weight"]
     got, want = _norm(got, cols), _norm(want, cols)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_fused_matches_unfused(ray_session):
+    """The headline fused extract (one actor pool composing detector →
+    linker → emit → prefix) must produce the identical canonical triple
+    set as the per-stage topology."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+
+    fused = run_kg_pipeline(SF_SMALL, fused=True).to_pandas()
+    unfused = run_kg_pipeline(SF_SMALL, fused=False).to_pandas()
+    cols = ["subj", "pred", "obj", "cnt"]
+    pd.testing.assert_frame_equal(_norm(fused, cols), _norm(unfused, cols))

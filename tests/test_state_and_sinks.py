@@ -187,3 +187,29 @@ def test_media_frame_sampler_hash_deterministic(ray_session):
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
     assert (a["frame_hash"] >= 0).all()
+
+
+def test_ndjson_output_byte_stable(ray_session, tmp_path):
+    """Two consecutive end-to-end runs produce byte-identical NDJSON —
+    preserve_order + per-block (subj, pred, obj) sort (the reference's
+    worker fan-in is explicitly nondeterministic, ntto.go:174-199; this
+    engine pins the order). No sorting in this test: raw file bytes."""
+    import hashlib
+    import os
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.materialize import write_ndjson
+    from tests.conftest import SF_SMALL
+
+    digests = []
+    for run in ("a", "b"):
+        out = tmp_path / f"nd_{run}"
+        canonical = run_kg_pipeline(SF_SMALL).select_columns(["subj", "pred", "obj"])
+        write_ndjson(canonical, str(out))
+        files = sorted(os.listdir(out))
+        h = hashlib.blake2b(digest_size=16)
+        for f in files:
+            h.update(f.encode())
+            h.update((out / f).read_bytes())
+        digests.append((tuple(files), h.hexdigest()))
+    assert digests[0] == digests[1]
