@@ -218,5 +218,11 @@ def run_kg_pipeline(
     return canonical
 
 
-def subject_degrees(canonical: ray.data.Dataset) -> ray.data.Dataset:
-    return degree_by_subject(canonical)
+def subject_degrees(
+    canonical: ray.data.Dataset, *, bucketed: bool | None = None
+) -> ray.data.Dataset:
+    """``bucketed=True`` when the input came from
+    ``canonicalize(keep_bucket=True)`` — skips the ``schema()`` probe
+    (which would execute the lazy pipeline once just to look at column
+    names) and takes the per-block partial-aggregate path."""
+    return degree_by_subject(canonical, bucketed=bucketed)

@@ -53,7 +53,9 @@ def kg_triples_canonical(sf_dir: str):
 def kg_adjacency_degrees(sf_dir: str):
     from ntto_ray.pipelines.kg import run_kg_pipeline, subject_degrees
 
-    return subject_degrees(run_kg_pipeline(sf_dir))
+    # keep_bucket → degrees reduce per block first; the exchange only
+    # moves subject-scale partials
+    return subject_degrees(run_kg_pipeline(sf_dir, keep_bucket=True), bucketed=True)
 
 
 @register("kg_ndjson_lines", oracle=None)

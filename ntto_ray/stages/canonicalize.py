@@ -259,16 +259,55 @@ def _add_salt(batch: pa.Table, *, buckets: int) -> pa.Table:
     return batch.append_column("salt", pa.array((h % buckets).astype("int64")))
 
 
+def _degrees_block(t: pa.Table) -> pa.Table:
+    """Per-block degree/weight aggregate — globally exact when blocks are
+    subject-bucket partitions (the canonicalize(keep_bucket=True)
+    contract: every row of a subject lives in exactly one block)."""
+    if t.num_rows == 0 or "subj" not in t.column_names:
+        return pa.schema(
+            [("subj", pa.string()), ("degree", pa.int64()), ("weight", pa.int64())]
+        ).empty_table()
+    g = (
+        t.select(["subj", "cnt"])
+        .group_by("subj")
+        .aggregate([("cnt", "count"), ("cnt", "sum")])
+    )
+    return g.rename_columns(["subj", "degree", "weight"])
+
+
 def degree_by_subject(
-    canonical: ray.data.Dataset, *, salt_buckets: int = _SALT_BUCKETS
+    canonical: ray.data.Dataset,
+    *,
+    salt_buckets: int = _SALT_BUCKETS,
+    bucketed: bool | None = None,
 ) -> ray.data.Dataset:
-    """Out-degree (distinct edges) and total weight per subject, computed
-    as a SALTED two-phase aggregate: group on (subj, salt) first — hot
-    conversational subjects spread over ``salt_buckets`` partitions — then
-    reduce the per-salt partials with a second, tiny groupby on subj.
+    """Out-degree (distinct edges) and total weight per subject.
+
+    Fast path (``bucketed``, auto-detected from a ``subj_bucket``
+    column): the canonicalize exchange already co-located every subject
+    in one bucket partition, so a per-block C++ partial aggregate
+    collapses row-scale input to subject-scale partials, and the final
+    groupby only moves those partials (normally one row per subject —
+    it exists to stay exact if a very large bucket ever splits across
+    blocks at the 128 MiB block-size boundary). Measured: the generic
+    two-phase hash aggregate this replaces cost 25 s at sf0.01×32 CPUs.
+
+    Fallback (un-bucketed input): SALTED two-phase aggregate — group on
+    (subj, salt) first so hot conversational subjects spread over
+    ``salt_buckets`` partitions, then reduce the per-salt partials with
+    a second, tiny groupby on subj.
 
     Columns: subj, degree (distinct triples), weight (sum of cnt).
     """
+    if bucketed is None:
+        bucketed = "subj_bucket" in (canonical.schema().names or [])
+    if bucketed:
+        partial = canonical.map_batches(
+            _degrees_block, batch_size=None, batch_format="pyarrow"
+        )
+        return partial.groupby("subj").aggregate(
+            Sum("degree", alias_name="degree"), Sum("weight", alias_name="weight")
+        )
     salted = canonical.map_batches(
         _add_salt, batch_format="pyarrow", fn_kwargs={"buckets": salt_buckets}
     )

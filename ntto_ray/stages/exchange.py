@@ -78,10 +78,18 @@ def hash_grouped(
     per_part = min(1.0, (cpus / 4) / nparts) if cpus >= 16 else 0.0
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
     # The per-dataset context flows DOWNSTREAM: a later groupby() on the
-    # returned dataset also plans as a hash aggregate and reads its own
-    # override knob — set it too or that operator reverts to the default
-    # reservation and re-introduces the deadlock.
-    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
+    # returned dataset also plans as a HASH aggregate and reads its own
+    # override knob. That operator's partition count is NOT nparts — it
+    # defaults to 200 — so a per-partition reservation sized for this
+    # exchange multiplies out to 25 CPUs per aggregate (observed: the
+    # two-stage degree groupby after canonicalize reserved 50/32 CPUs
+    # and deadlocked a 32-CPU session). Aggregate actors get a ZERO
+    # reservation: their finalize work transiently oversubscribes
+    # instead of starving the pipeline.
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.0
+    # downstream groupbys also default to 200 partitions — align them
+    # with the session-sized partition count
+    ctx.default_hash_shuffle_parallelism = nparts
     # sort=False still co-locates all rows of a key in one block — pass
     # False when the downstream kernel is a hash aggregate that doesn't
     # need contiguous runs (skips a per-partition sort).
