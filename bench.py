@@ -22,8 +22,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # corpus amplification for the headline pipeline (distinct conversations,
-# same distribution): sf0.1 has 5000 docs → REPLICATE×5000 convs ×6 turns
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "16"))
+# same distribution): sf0.1 has 5000 docs → REPLICATE×5000 convs ×6 turns.
+# 64 → 12.7M raw triples: big enough that actor-pool ramp (~8 s) stops
+# dominating the headline number (round 1 ran 16 → 3.2M).
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "64"))
 
 
 def _warm_cache():
@@ -105,6 +107,7 @@ def run_bench() -> dict:
         "rel_segment_sales",
         "rel_events_hourly",
         "dedup_exact_fulltext",
+        "dedup_jaccard_pairs",
         "dedup_minhash_lsh",
         "text_token_stats",
         "ann_bruteforce_topk",

@@ -334,7 +334,110 @@ def ann_lsh_topk(sf_dir: str):
     return lsh_topk(_emb(sf_dir), ids, m, k=10, dim=m.shape[1])
 
 
-@register("ann_ivf_topk", oracle=None)  # approximate by design
+def _ivf_oracle_sql(
+    *, nlist: int = 16, nprobe: int = 4, iters: int = 10, train: int = 4096, k: int = 10, dim: int = 64
+) -> str:
+    """Exact SQL mirror of IVF top-k INCLUDING the spherical k-means
+    coarse quantizer, unrolled as ``iters`` chained MATERIALIZED CTEs
+    (non-materialized CTEs inline the previous iteration twice per level
+    → exponential plan blowup). Mirrorability is engineered on the Ray
+    side (stages/ann.py _kmeans): no-RNG first-k seeding, ties to lowest
+    centroid id, empty clusters keep their centroid, and centroids are
+    float32-quantized per iteration so numpy-vs-SQL summation-order ulp
+    differences cannot drift the assignments."""
+    parts = [
+        f"""
+s AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+  FROM embeddings WHERE vec_id < {train}
+),
+sn AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v
+  FROM s
+),
+cent0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(v, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+  FROM sn ORDER BY vec_id LIMIT {nlist}
+)"""
+    ]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""
+assign{it} AS MATERIALIZED (
+  SELECT vec_id, v, c FROM (
+    SELECT sn.vec_id, sn.v, {prev}.c,
+           row_number() OVER (
+             PARTITION BY sn.vec_id
+             ORDER BY list_dot_product(sn.v, {prev}.cv) DESC, {prev}.c ASC
+           ) AS rn
+    FROM sn CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+mean{it} AS MATERIALIZED (
+  SELECT c, list(avg_x ORDER BY j) AS mv FROM (
+    SELECT a.c, j.j, avg(a.v[j.j]) AS avg_x
+    FROM assign{it} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS j) j
+    GROUP BY a.c, j.j
+  ) GROUP BY c
+),
+cent{it} AS MATERIALIZED (
+  SELECT p.c,
+         COALESCE(
+           (SELECT list_transform(m.mv, x -> CAST(CAST(
+                x / sqrt(list_dot_product(m.mv, m.mv)) AS FLOAT) AS DOUBLE))
+            FROM mean{it} m WHERE m.c = p.c),
+           p.cv) AS cv
+  FROM {prev} p
+)"""
+        )
+        prev = f"cent{it}"
+    km = ",".join(parts)
+    return f"""
+WITH {km},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+en AS MATERIALIZED (
+  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v
+  FROM e
+),
+eassign AS MATERIALIZED (
+  SELECT vec_id, v, c FROM (
+    SELECT en.vec_id, en.v, f.c,
+           row_number() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY list_dot_product(en.v, f.cv) DESC, f.c ASC
+           ) AS rn
+    FROM en CROSS JOIN {prev} f
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM en WHERE vec_id IN {_ANN_QUERY_IDS}),
+probes AS (
+  SELECT qid, c FROM (
+    SELECT q.qid, f.c,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, f.cv) DESC, f.c ASC
+           ) AS rn
+    FROM q CROSS JOIN {prev} f
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT q.qid, ea.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_dot_product(q.qv, ea.v) DESC, ea.vec_id ASC
+         ) AS rank
+  FROM q JOIN probes p ON p.qid = q.qid
+         JOIN eassign ea ON ea.c = p.c
+  WHERE ea.vec_id != q.qid
+)
+SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank FROM scored WHERE rank <= {k}
+"""
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle_sql())
 def ann_ivf_topk(sf_dir: str):
     from ntto_ray.stages.ann import ivf_topk
 

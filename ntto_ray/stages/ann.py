@@ -188,21 +188,31 @@ def lsh_topk(
     return cands.groupby("qid").map_groups(reduce_group, batch_format="pandas")
 
 
-def _kmeans(sample: np.ndarray, k: int, *, iters: int = 10, seed: int = 3) -> np.ndarray:
+def _kmeans(sample: np.ndarray, k: int, *, iters: int = 10) -> np.ndarray:
     """Tiny deterministic k-means (cosine/spherical): trains the IVF
     coarse quantizer on a driver-side sample. The sample is small by
     design (≤ a few thousand rows); the full corpus never leaves the
-    cluster."""
+    cluster.
+
+    Every step is chosen to be SQL-MIRRORABLE so the whole IVF query has
+    an exact DuckDB oracle: seeds are the first k sample rows (no RNG),
+    assignment ties break to the LOWEST centroid id, empty clusters keep
+    their previous centroid, and centroids are QUANTIZED to float32
+    after each normalize — the quantum (~6e-8 relative) absorbs the
+    last-ulp summation-order differences between numpy's pairwise sums
+    and SQL's sequential aggregates that would otherwise let assignments
+    drift chaotically between the two implementations."""
     sample = _normalize(np.asarray(sample, dtype=np.float64))
-    rng = np.random.RandomState(seed)
-    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    cent = sample[: min(k, len(sample))].copy()
+    cent = cent.astype(np.float32).astype(np.float64)
     for _ in range(iters):
-        assign = np.argmax(sample @ cent.T, axis=1)
+        sims = sample @ cent.T
+        assign = np.argmax(sims, axis=1)  # first max = lowest centroid id
         for c in range(len(cent)):
             members = sample[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
-        cent = _normalize(cent)
+        cent = _normalize(cent).astype(np.float32).astype(np.float64)
     return cent
 
 
@@ -227,12 +237,18 @@ def ivf_topk(
     Scale path: nlist grows ~sqrt(corpus); the map side emits only
     batch-local top-k candidates per query, so the final per-qid
     reduction stays tiny regardless of corpus size."""
-    sample = embeddings.limit(train_sample).to_pandas()
+    # deterministic sample rule (vec_id < train_sample, ascending) — a
+    # SQL-expressible predicate, unlike limit()'s read-order dependence
+    sample = (
+        embeddings.filter(expr=f"vec_id < {int(train_sample)}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     cent = _kmeans(sm, nlist)
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    # per-query probed centroid sets
-    order = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    # per-query probed centroid sets; stable sort → ties to lowest id
+    order = np.argsort(-(qm @ cent.T), axis=1, kind="stable")[:, :nprobe]
     ref = ray.put(
         (np.asarray(query_ids, dtype=np.int64), qm, cent, order)
     )
