@@ -200,9 +200,13 @@ def jaccard_pairs(
         h = _token_hashes(flat)
         hs, off = _distinct_sorted_per_row(h, offsets)
         ntok = np.diff(off)
-        # prefix length p = n - ceil(t*n/100) + 1
-        p = ntok - (-(ntok * threshold_pct) // 100) + 1
-        p = np.minimum(p, ntok)
+        # prefix length p = n - ceil(t*n/100) + 1; ceil(a/b) = -(-a // b)
+        # (round 1 dropped the outer negation, making p ≈ 2n → clamped to
+        # n → EVERY token emitted: still correct, but the filter was a
+        # no-op and verify went all-pairs — measured 65 s at sf0.1)
+        ceil_tn = -((-(ntok * threshold_pct)) // 100)
+        p = ntok - ceil_tn + 1
+        p = np.clip(p, 1, ntok)
         doc_ids = t["doc_id"].to_numpy()
         # gather each row's first p hashes
         reps = p.astype(np.int64)

@@ -90,16 +90,33 @@ class LangId:
         self.markers = {k: frozenset(v) for k, v in (markers or LANG_MARKERS).items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        guesses, hits = [], []
-        for text in t["text"].to_pylist():
-            toks = set(text.split(" "))
-            best, best_n = "unk", 0
-            for lang, marks in self.markers.items():
-                n = len(toks & marks)
-                if n > best_n:
-                    best, best_n = lang, n
-            guesses.append(best)
-            hits.append(best_n)
+        # vectorized: one split + one is_in kernel per language over the
+        # DISTINCT (row, token) pairs; per-row hit counts via bincount.
+        # O(#languages) kernel calls per batch, row work all in Arrow.
+        toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # distinct tokens per row (marker hits count unique tokens)
+        key = np.char.add(
+            parent.astype("U20"),
+            np.char.add("\x1f", flat.to_numpy(zero_copy_only=False).astype("U")),
+        )
+        _, first = np.unique(key, return_index=True)
+        first = np.sort(first)
+        flat_u = flat.take(pa.array(first))
+        parent_u = parent[first]
+        n = t.num_rows
+        best_n = np.zeros(n, dtype=np.int64)
+        best = np.full(n, "unk", dtype=object)
+        for lang, marks in self.markers.items():
+            m = pc.is_in(flat_u, value_set=pa.array(sorted(marks))).to_numpy(
+                zero_copy_only=False
+            )
+            cnt = np.bincount(parent_u, weights=m, minlength=n).astype(np.int64)
+            better = cnt > best_n
+            best_n[better] = cnt[better]
+            best[better] = lang
+        guesses, hits = best, best_n
         return pa.Table.from_arrays(
             [
                 t["doc_id"],
