@@ -120,10 +120,12 @@ class CompiledRules:
             arr = arr.combine_chunks()
         heads = pc.utf8_slice_codeunits(arr, start=0, stop=self._max_plen)
         enc = heads.dictionary_encode()
-        uniq = enc.dictionary.to_pylist()
-        m_per_head = np.fromiter(
-            (self.match_str(h) for h in uniq), dtype=np.int64, count=len(uniq)
-        )
+        uniq = enc.dictionary.to_numpy(zero_copy_only=False)
+        # vectorized LPM over the unique heads (searchsorted + parent
+        # chain) — on entity-suffixed IRIs most heads are DISTINCT, so a
+        # scalar per-head loop is O(rows) Python (measured 100+ ms per
+        # 65k heads vs ~5 ms vectorized)
+        m_per_head = self.match(uniq.astype("U"))
         matched = m_per_head[
             enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ]
@@ -144,9 +146,7 @@ class CompiledRules:
             cut = pc.utf8_slice_codeunits(sub, start=int(self.plens[r]))
             pieces.append(
                 pc.binary_join_element_wise(
-                    pa.array(np.full(len(rows), self.repls[r], dtype=object)),
-                    cut,
-                    "",
+                    pa.scalar(str(self.repls[r])), cut, ""
                 )
             )
         merged = pa.concat_arrays(
