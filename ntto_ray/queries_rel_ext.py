@@ -1,0 +1,307 @@
+"""Extended relational operators (round 2): as-of join, sliding window,
+anti join, top-k per group, exact distributed quantiles — each
+Ray-Data-first with an exact DuckDB oracle. Same exactness discipline as
+queries_rel.py (monetary doubles → integer cents before any aggregate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ntto_ray.registry import register
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+# --- as-of join (event → latest order at-or-before) -----------------------
+
+@register(
+    "rel_asof_join",
+    oracle="""
+WITH cand AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, o_orderkey FROM cand WHERE rn = 1
+""",
+)
+def rel_asof_join(sf_dir: str):
+    """As-of join: each event matched to the latest order (by
+    o_orderdate, ties to max o_orderkey) of the same user at-or-before
+    the event timestamp — the custom operator Ray Data lacks, built as
+    one tag-union hash exchange + per-key binary search
+    (stages/joins.py)."""
+    from ntto_ray.stages.joins import asof_join_latest
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    joined = asof_join_latest(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_id="event_id",
+        right_id="o_orderkey",
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["left_id"],
+                "user_id": t["key"],
+                "o_orderkey": t["right_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _prep_right_key(t: pa.Table) -> pa.Table:
+    return pa.table({"key": t["o_custkey"].cast(pa.int64())})
+
+
+# --- sliding window (1 h length, 15 min slide) ----------------------------
+
+_SLIDE_US = 15 * 60 * 1_000_000
+_WINDOWS_PER_EVENT = 4  # 60 min / 15 min
+
+
+@register(
+    "rel_sliding_window",
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15*j.j),
+                '%Y-%m-%d %H:%M') AS window_start,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events
+CROSS JOIN (SELECT unnest(generate_series(0, {_WINDOWS_PER_EVENT - 1})) AS j) j
+GROUP BY 1
+""",
+)
+def rel_sliding_window(sf_dir: str):
+    """Sliding 60-minute window advancing every 15 minutes over the event
+    stream: each event expands to its 4 covering window starts inside
+    map_batches (vectorized int64 arithmetic — no self-join), then one
+    grouped aggregate. The overlap factor (4×) is the map-side fan-out;
+    the shuffle moves window-scale partials only."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        base = ts - (ts % _SLIDE_US)
+        starts = (
+            base[None, :] - (np.arange(_WINDOWS_PER_EVENT, dtype=np.int64) * _SLIDE_US)[:, None]
+        ).ravel()
+        val = np.tile(_cents(t["value"]).to_numpy(), _WINDOWS_PER_EVENT)
+        win = pc.strftime(
+            pa.array(starts, type=pa.int64()).cast(pa.timestamp("us")),
+            format="%Y-%m-%d %H:%M",
+        )
+        return pa.table({"window_start": win, "value_c": val})
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="cnt"), Sum("value_c", alias_name="value_c"))
+    )
+
+
+# --- anti join (native Dataset.join left_anti) -----------------------------
+
+@register(
+    "rel_anti_join",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+)
+def rel_anti_join(sf_dir: str):
+    """Customers with no URGENT order — Ray's native distributed
+    ``Dataset.join(left_anti)`` (hash-shuffle on both sides). The right
+    side is pre-filtered and projected to its key column at the read, so
+    the shuffle moves keys only."""
+    from ntto_ray.stages.canonicalize import _shuffle_parallelism
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).materialize()
+    urgent = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t.filter(
+                        pc.equal(t["o_orderpriority"], "1-URGENT")
+                    )["o_custkey"]
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    return cust.join(
+        urgent,
+        "left_anti",
+        num_partitions=_shuffle_parallelism(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+
+# --- top-k per group (combiner + final reduce) -----------------------------
+
+_TOPK_K = 3
+
+
+@register(
+    "rel_topk_per_group",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderpriority AS priority, o_orderkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY round(o_totalprice*100) DESC, o_orderkey ASC
+         ) AS rank
+  FROM orders
+)
+SELECT priority, o_orderkey, total_c, CAST(rank AS BIGINT) AS rank
+FROM t WHERE rank <= {_TOPK_K}
+""",
+)
+def rel_topk_per_group(sf_dir: str):
+    """Top-3 orders by price per priority: per-batch vectorized partial
+    top-k (map-side combiner bounds shuffle volume at k × groups ×
+    blocks), then a tiny per-group final reduce."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        okey = t["o_orderkey"].to_numpy()
+        total = _cents(t["o_totalprice"]).to_numpy()
+        codes, inv = np.unique(pri, return_inverse=True)
+        order = np.lexsort((okey, -total, inv))
+        inv_s = inv[order]
+        starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+        rank = np.arange(len(inv_s)) - np.repeat(starts, np.diff(np.r_[starts, len(inv_s)]))
+        keep = order[rank < _TOPK_K]
+        return pa.table(
+            {
+                "priority": pa.array(pri[keep], type=pa.string()),
+                "o_orderkey": okey[keep],
+                "total_c": total[keep],
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["total_c", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(_TOPK_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("priority")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+# --- exact distributed quantiles (value-count exchange) --------------------
+
+_QUANTILES = (0.5, 0.9)
+
+
+@register(
+    "rel_group_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) AS p50_c,
+       quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.9) AS p90_c,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+""",
+)
+def rel_group_quantiles(sf_dir: str):
+    """EXACT per-group quantiles without sorting the data: map-side
+    value-count compression (C++ group_by per batch), one hash exchange
+    keyed on the group, then per-group quantile from the cumulative
+    value counts. Shuffle volume is distinct (group, value) pairs —
+    bounded by the value domain, not the row count. quantile_disc
+    semantics: element at index ceil(q*n) - 1 of the sorted values."""
+    from ntto_ray.stages.exchange import hash_grouped, runs
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def value_counts(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {"l_returnflag": t["l_returnflag"], "v": _cents(t["l_extendedprice"])}
+        )
+        g = t2.group_by(["l_returnflag", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["l_returnflag", "v", "cnt"])
+
+    out_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("p50_c", pa.int64()),
+            ("p90_c", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def quantiles(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_returnflag" not in t.column_names:
+            return out_schema.empty_table()
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy()
+        cnt = t["cnt"].to_numpy()
+        flags, p50s, p90s, ns = [], [], [], []
+        starts, ends = runs(flag)
+        for s, e in zip(starts, ends):
+            order = np.argsort(v[s:e], kind="mergesort")
+            vv, cc = v[s:e][order], cnt[s:e][order]
+            # merge duplicate values arriving from different blocks
+            firsts = np.r_[True, vv[1:] != vv[:-1]]
+            vv2 = vv[firsts]
+            cc2 = np.add.reduceat(cc, np.flatnonzero(firsts))
+            cum = np.cumsum(cc2)
+            n = int(cum[-1])
+            qi = [int(np.ceil(q * n)) - 1 for q in _QUANTILES]
+            picks = [int(vv2[np.searchsorted(cum, i + 1)]) for i in qi]
+            flags.append(flag[s])
+            p50s.append(picks[0])
+            p90s.append(picks[1])
+            ns.append(n)
+        return pa.Table.from_arrays(
+            [
+                pa.array(flags, type=pa.string()),
+                pa.array(p50s, type=pa.int64()),
+                pa.array(p90s, type=pa.int64()),
+                pa.array(ns, type=pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    partial = ds.map_batches(value_counts, batch_format="pyarrow")
+    grouped = hash_grouped(partial, ["l_returnflag"], sort=True)
+    return grouped.map_batches(quantiles, batch_size=None, batch_format="pyarrow")

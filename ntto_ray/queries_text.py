@@ -55,9 +55,7 @@ def dedup_exact_fulltext(sf_dir: str):
     return exact_dedup_fulltext(_docs(sf_dir, ["doc_id", "text"]))
 
 
-@register(
-    "dedup_jaccard_pairs",
-    oracle="""
+_JACCARD_SQL = """
 WITH d AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
   FROM documents
@@ -69,8 +67,10 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM d a JOIN d b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.toks, b.toks)) * 100
       >= 90 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-""",
-)
+"""
+
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_SQL)
 def dedup_jaccard_pairs(sf_dir: str):
     """Globally exact near-dup pairs (prefix-filtered similarity join —
     no blocking assumption, unlike round 1's (source, length-bucket)
@@ -87,9 +87,7 @@ def dedup_minhash_lsh(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
-@register(
-    "dedup_simhash",
-    oracle="""
+_SIMHASH_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
@@ -114,12 +112,61 @@ votes AS (
 SELECT doc_id,
        CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END) AS UBIGINT) AS simhash
 FROM votes GROUP BY doc_id
-""",
-)
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL)
 def dedup_simhash(sf_dir: str):
     from ntto_ray.stages.dedup import simhash_fingerprints
 
     return simhash_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _simhash_pairs_oracle() -> str:
+    """Self-join over the (SQL-mirrored) SimHash fingerprints with
+    bit_count(xor) — exact because the banded Ray plan is exact for
+    hamming <= bands - 1 (stages/dedup.py simhash_pairs)."""
+    sim = _SIMHASH_SQL
+    return f"""
+WITH sh AS (SELECT * FROM ({sim}))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(sf_dir: str):
+    from ntto_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3, bands=4)
+
+
+_CC_SQL = f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL})),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+FROM reach GROUP BY a
+"""
+
+
+@register("dedup_connected_components", oracle=_CC_SQL)
+def dedup_connected_components(sf_dir: str):
+    """Near-dup clustering: exact Jaccard pairs → connected components
+    (min-label propagation, stages/graph.py) — the step that turns pair
+    lists into keep-one-per-group dedup decisions."""
+    from ntto_ray.stages.dedup import jaccard_pairs
+    from ntto_ray.stages.graph import connected_components
+
+    pairs = jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold_pct=90)
+    return connected_components(pairs)
 
 
 @register(

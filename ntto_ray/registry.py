@@ -47,6 +47,12 @@ def _load():
     global _LOADED
     if _LOADED:
         return
-    from ntto_ray import queries_kg, queries_media, queries_rel, queries_text  # noqa: F401
+    from ntto_ray import (  # noqa: F401
+        queries_kg,
+        queries_media,
+        queries_rel,
+        queries_rel_ext,
+        queries_text,
+    )
 
     _LOADED = True

@@ -568,3 +568,107 @@ class SimHasher:
 
 def simhash_fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+
+
+# --- SimHash near-dup pairs (exact banded Hamming join) -------------------
+
+_SIMHASH_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+)
+
+# byte-popcount table: vectorized Hamming distance without numpy>=2's
+# bitwise_count (uint64 xor → 8 byte-lookups + row sum)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming64(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    z = np.bitwise_xor(x, y)
+    return (
+        _POPCNT8[z.view(np.uint8).reshape(len(z), 8)]
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def simhash_pairs(
+    docs: ray.data.Dataset, *, max_hamming: int = 3, bands: int = 4
+) -> ray.data.Dataset:
+    """All (a, b) doc pairs whose 64-bit SimHash fingerprints differ in at
+    most ``max_hamming`` bits — EXACT, not probabilistic, via pigeonhole
+    banding: with ``bands`` equal bit-slices, ≤ ``bands - 1`` differing
+    bits leave at least one slice identical, so grouping on (band, slice
+    value) surfaces every qualifying pair. Requires
+    ``max_hamming <= bands - 1`` (asserted).
+
+    One wide exchange: fingerprint (actor pool, SimHasher) → band explode
+    (each row carries its full fingerprint) → groupby(band, slice) →
+    in-bucket vectorized Hamming verify → tiny pair dedupe. Bucket
+    population is bounded by the 16-bit slice collision rate, not the
+    corpus — the usual LSH-banding scale shape, but with an exactness
+    guarantee the MinHash variant cannot give."""
+    assert max_hamming <= bands - 1, "pigeonhole exactness needs max_hamming < bands"
+    width = 64 // bands
+    mask = _U((1 << width) - 1)
+
+    fps = simhash_fingerprints(docs)
+
+    def emit_bands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "simhash" not in t.column_names:
+            return pa.schema(
+                [("bkey", pa.int64()), ("doc_id", pa.int64()), ("fp", pa.int64())]
+            ).empty_table()
+        fp = t["simhash"].to_numpy().astype(_U)
+        doc = t["doc_id"].to_numpy()
+        n = len(fp)
+        keys = np.empty(bands * n, dtype=np.int64)
+        for b in range(bands):
+            bv = ((fp >> _U(b * width)) & mask).astype(np.int64)
+            keys[b * n : (b + 1) * n] = (bv << np.int64(3)) | np.int64(b)
+        return pa.table(
+            {
+                "bkey": keys,
+                "doc_id": np.tile(doc, bands),
+                "fp": np.tile(fp.view(np.int64), bands),
+            }
+        )
+
+    def bucket_verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bkey" not in t.column_names:
+            return _SIMHASH_PAIR_SCHEMA.empty_table()
+        bkey = t["bkey"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        fp = t["fp"].to_numpy().view(_U)
+        out_a, out_b, out_h = [], [], []
+        starts, ends = _runs(bkey)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            order = np.argsort(doc[s:e], kind="stable")
+            ids = doc[s:e][order]
+            first = np.r_[True, ids[1:] != ids[:-1]]
+            ids, f = ids[first], fp[s:e][order][first]
+            g = len(ids)
+            if g < 2:
+                continue
+            a, b = np.triu_indices(g, k=1)
+            h = _hamming64(f[a], f[b])
+            keep = h <= max_hamming
+            if keep.any():
+                out_a.append(ids[a[keep]])
+                out_b.append(ids[b[keep]])
+                out_h.append(h[keep])
+        if not out_a:
+            return _SIMHASH_PAIR_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_a).astype(np.int64)),
+                pa.array(np.concatenate(out_b).astype(np.int64)),
+                pa.array(np.concatenate(out_h)),
+            ],
+            schema=_SIMHASH_PAIR_SCHEMA,
+        )
+
+    banded = fps.map_batches(emit_bands, batch_format="pyarrow")
+    grouped = _hash_grouped(banded, ["bkey"])
+    pairs = grouped.map_batches(bucket_verify, batch_size=None, batch_format="pyarrow")
+    return _dedupe_pairs(pairs, _SIMHASH_PAIR_SCHEMA)

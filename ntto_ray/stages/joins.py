@@ -1,0 +1,129 @@
+"""Custom join operators Ray Data lacks natively.
+
+``asof_join_latest``: for every left row, the single right row with the
+greatest (ts, tiebreak) at-or-before the left row's ts within the same
+key — the classic event-to-dimension-history / trade-to-quote join.
+
+Partitioning contract: ONE tag-union hash exchange on the join key
+co-locates each key's left and right rows in a single block
+(``hash_grouped``), so the per-block kernel sees whole keys; skewed keys
+are bounded by that key's own row count, the same budget as any
+per-key windowed operator (sessionization). No driver materialization,
+no broadcast: both sides stream."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ntto_ray.stages.exchange import conform, hash_grouped, runs
+
+
+def asof_join_latest(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_id: str,
+) -> ray.data.Dataset:
+    """Inner as-of join: (left_id, key, right_id) where right_id is the
+    right row of the same ``key`` with maximal (``right_ts``,
+    ``right_id``) such that right_ts <= left_ts (keys join
+    ``left_key`` = ``right_key``). Left rows with no such
+    right row are dropped (inner semantics). Timestamps compare as their
+    int64 epoch-microsecond representation."""
+
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("rid", pa.int64()),
+            ("is_right", pa.int8()),
+        ]
+    )
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        return conform(
+            pa.table(
+                {
+                    "key": t[left_key].cast(pa.int64()),
+                    "ts_us": t[left_ts].cast(pa.timestamp("us")).cast(pa.int64()),
+                    "rid": t[left_id].cast(pa.int64()),
+                    "is_right": pa.array(
+                        np.zeros(t.num_rows, dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            ),
+            union_schema,
+        )
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        return conform(
+            pa.table(
+                {
+                    "key": t[right_key].cast(pa.int64()),
+                    "ts_us": t[right_ts].cast(pa.timestamp("us")).cast(pa.int64()),
+                    "rid": t[right_id].cast(pa.int64()),
+                    "is_right": pa.array(
+                        np.ones(t.num_rows, dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            ),
+            union_schema,
+        )
+
+    tagged = left.map_batches(prep_left, batch_format="pyarrow").union(
+        right.map_batches(prep_right, batch_format="pyarrow")
+    )
+    grouped = hash_grouped(tagged, ["key"], sort=True)
+
+    out_schema = pa.schema(
+        [("left_id", pa.int64()), ("key", pa.int64()), ("right_id", pa.int64())]
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        """Per block (whole keys, key-sorted): for each key run, sort the
+        right rows by (ts, id) once and binary-search every left ts —
+        vectorized inside the run; the Python loop is O(distinct keys per
+        block), the sessionization budget."""
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return out_schema.empty_table()
+        k = t["key"].to_numpy()
+        ts = t["ts_us"].to_numpy()
+        rid = t["rid"].to_numpy()
+        is_r = t["is_right"].to_numpy().astype(bool)
+        out_l, out_k, out_r = [], [], []
+        starts, ends = runs(k)
+        for s, e in zip(starts, ends):
+            rm = is_r[s:e]
+            if not rm.any() or rm.all():
+                continue
+            r_ts, r_id = ts[s:e][rm], rid[s:e][rm]
+            order = np.lexsort((r_id, r_ts))
+            r_ts, r_id = r_ts[order], r_id[order]
+            l_ts, l_id = ts[s:e][~rm], rid[s:e][~rm]
+            idx = np.searchsorted(r_ts, l_ts, side="right")
+            ok = idx > 0
+            if not ok.any():
+                continue
+            out_l.append(l_id[ok])
+            out_k.append(np.full(int(ok.sum()), k[s], dtype=np.int64))
+            out_r.append(r_id[idx[ok] - 1])
+        if not out_l:
+            return out_schema.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_l)),
+                pa.array(np.concatenate(out_k)),
+                pa.array(np.concatenate(out_r)),
+            ],
+            schema=out_schema,
+        )
+
+    return grouped.map_batches(kernel, batch_size=None, batch_format="pyarrow")
