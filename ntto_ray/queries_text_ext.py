@@ -1,0 +1,254 @@
+"""Extended text/dedup operators (round 2): end-to-end corpus dedup
+(keep one canonical doc per near-dup component), per-doc TF-IDF top
+terms, and global bigram counts — each with an exact DuckDB oracle.
+
+Exactness discipline: scoring stays in INTEGER arithmetic (scaled
+integer division) so Ray-vs-SQL value hashes cannot diverge on float
+ulps or log() implementations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ntto_ray.registry import register
+from ntto_ray.queries_text import _CC_SQL, _docs
+
+
+# --- end-to-end corpus dedup ----------------------------------------------
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({_CC_SQL}) WHERE component != doc_id
+)
+""",
+)
+def dedup_keep_canonical(sf_dir: str):
+    """The full corpus-dedup decision: exact Jaccard pairs → connected
+    components → drop every member whose component representative (min
+    doc id) is another doc. The dropped-id set is result-scale
+    (bounded by the dup rate), so it broadcasts via ``ray.put`` and the
+    corpus filter is one vectorized ``is_in`` map — no extra shuffle."""
+    import ray
+
+    from ntto_ray.stages.dedup import jaccard_pairs
+    from ntto_ray.stages.graph import connected_components
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    labels = connected_components(jaccard_pairs(docs, threshold_pct=90))
+    lab = labels.to_pandas()
+    dropped = lab.loc[lab["component"] != lab["doc_id"], "doc_id"].to_numpy(
+        dtype=np.int64
+    )
+    ref = ray.put(np.sort(dropped))
+
+    class DropDups:
+        def __init__(self, ref):
+            self.dropped = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            keep = ~np.isin(ids, self.dropped)
+            return pa.table({"doc_id": ids[keep]})
+
+    return docs.map_batches(
+        DropDups,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": ref},
+    )
+
+
+# --- per-doc TF-IDF top terms ---------------------------------------------
+
+_TFIDF_K = 3
+_TFIDF_SCALE = 1000
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, tok, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY 1, 2
+),
+d AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         (t.tf * {_TFIDF_SCALE} * (SELECT n FROM n)) // d.df AS score,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY (t.tf * {_TFIDF_SCALE} * (SELECT n FROM n)) // d.df DESC,
+                    t.tok ASC
+         ) AS rn
+  FROM t JOIN d USING (tok)
+)
+SELECT doc_id, tok AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score, CAST(rn AS BIGINT) AS rank
+FROM s WHERE rn <= {_TFIDF_K}
+""",
+)
+def text_tfidf_top_terms(sf_dir: str):
+    """Top-3 distinguishing terms per doc by scaled integer TF-IDF
+    (``score = tf * 1000 * N // df`` — idf-monotone in 1/df, float-free
+    and hash-stable). Two exchanges: (1) token-keyed, where each token
+    run computes its global document frequency and stamps it on every
+    (doc, token, tf) row; (2) doc-keyed, where each doc run ranks its
+    terms and keeps the top 3. Per-batch (doc, token) tf partials come
+    from one C++ group_by — per-doc token multisets never leave the
+    batch un-compressed."""
+    from ntto_ray.stages.exchange import hash_grouped, runs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(), n)
+        g = (
+            pa.table({"doc_id": doc, "tok": flat})
+            .group_by(["doc_id", "tok"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["doc_id", "tok", "tf"])
+
+    by_tok = hash_grouped(
+        docs.map_batches(tf_rows, batch_format="pyarrow"), ["tok"], sort=True
+    )
+
+    df_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("tok", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+        ]
+    )
+
+    def stamp_df(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return df_schema.empty_table()
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(tok)
+        # rows per token run = distinct docs containing it (tf_rows makes
+        # (doc, tok) unique per doc) — one vectorized repeat, no loop
+        df = np.repeat(ends - starts, ends - starts)
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["tok"], t["tf"].cast(pa.int64()), pa.array(df)],
+            schema=df_schema,
+        )
+
+    stamped = by_tok.map_batches(stamp_df, batch_size=None, batch_format="pyarrow")
+    by_doc = hash_grouped(stamped, ["doc_id"], sort=True)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("score", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return out_schema.empty_table()
+        doc = t["doc_id"].to_numpy()
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy()
+        df = t["df"].to_numpy()
+        score = (tf * _TFIDF_SCALE * n_docs) // df
+        cols = {k: [] for k in out_schema.names}
+        starts, ends = runs(doc)
+        for s, e in zip(starts, ends):
+            order = np.lexsort((tok[s:e], -score[s:e]))[:_TFIDF_K]
+            k = len(order)
+            cols["doc_id"].append(np.full(k, doc[s]))
+            cols["term"].append(tok[s:e][order])
+            cols["tf"].append(tf[s:e][order])
+            cols["df"].append(df[s:e][order])
+            cols["score"].append(score[s:e][order])
+            cols["rank"].append(np.arange(1, k + 1, dtype=np.int64))
+        if not cols["doc_id"]:
+            return out_schema.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(cols["doc_id"]), type=pa.int64()),
+                pa.array(np.concatenate(cols["term"]), type=pa.string()),
+                pa.array(np.concatenate(cols["tf"]), type=pa.int64()),
+                pa.array(np.concatenate(cols["df"]), type=pa.int64()),
+                pa.array(np.concatenate(cols["score"]), type=pa.int64()),
+                pa.array(np.concatenate(cols["rank"]), type=pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return by_doc.map_batches(topk, batch_size=None, batch_format="pyarrow")
+
+
+# --- global bigram counts --------------------------------------------------
+
+_BIGRAM_K = 50
+
+
+@register(
+    "text_bigram_counts",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+b AS (
+  SELECT t[i] || ' ' || t[i+1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1
+ORDER BY cnt DESC, bigram ASC
+LIMIT {_BIGRAM_K}
+""",
+)
+def text_bigram_counts(sf_dir: str):
+    """Global top-50 bigrams: per-batch vectorized bigram join (one Arrow
+    binary_join over the shifted flat token array) + C++ partial counts,
+    one grouped aggregate, sort + limit. The n-gram vocabulary pass every
+    tokenizer-training pipeline starts with."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.stages.dedup import _tokenize
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        flat, offsets = _tokenize(t["text"].combine_chunks())
+        if len(flat) < 2:
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        parent = np.repeat(
+            np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+        )
+        mask = parent[:-1] == parent[1:]
+        big = pc.binary_join_element_wise(
+            pa.array(flat[:-1][mask], type=pa.string()),
+            pa.array(flat[1:][mask], type=pa.string()),
+            " ",
+        )
+        g = pa.table({"bigram": big}).group_by("bigram").aggregate([([], "count_all")])
+        return g.rename_columns(["bigram", "cnt"])
+
+    return (
+        docs.map_batches(bigram_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "bigram"], descending=[True, False])
+        .limit(_BIGRAM_K)
+    )

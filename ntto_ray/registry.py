@@ -53,6 +53,7 @@ def _load():
         queries_rel,
         queries_rel_ext,
         queries_text,
+        queries_text_ext,
     )
 
     _LOADED = True
