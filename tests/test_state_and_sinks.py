@@ -213,3 +213,25 @@ def test_ndjson_output_byte_stable(ray_session, tmp_path):
             h.update((out / f).read_bytes())
         digests.append((tuple(files), h.hexdigest()))
     assert digests[0] == digests[1]
+
+
+def test_ndjson_source_roundtrip(ray_session, tmp_path):
+    """write_ndjson → read_ndjson_triples is the identity on triples,
+    including Go-escaped characters (<, >, &, quotes, backslashes)."""
+    import ray.data
+
+    from ntto_ray.sources.ndjson import read_ndjson_triples
+    from ntto_ray.stages.materialize import write_ndjson
+
+    rows = [
+        {"subj": "a", "pred": "p", "obj": "x<y"},
+        {"subj": "b", "pred": "p", "obj": 'quote"back\\slash'},
+        {"subj": "amp&s", "pred": "p>", "obj": "plain"},
+        {"subj": "c", "pred": "q", "obj": "o2"},
+    ]
+    nd_dir = str(tmp_path / "nd_rt")
+    write_ndjson(ray.data.from_items(rows), nd_dir)
+    back = read_ndjson_triples(nd_dir).to_pandas()
+    got = sorted(map(tuple, back[["subj", "pred", "obj"]].to_numpy()))
+    want = sorted((r["subj"], r["pred"], r["obj"]) for r in rows)
+    assert got == want
