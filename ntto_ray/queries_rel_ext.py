@@ -6,21 +6,11 @@ queries_rel.py (monetary doubles → integer cents before any aggregate)."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ntto_ray.queries_rel import _cents, _read
 from ntto_ray.registry import register
-
-
-def _read(sf_dir: str, table: str, columns=None):
-    import ray.data
-
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-
-
-def _cents(arr) -> pa.Array:
-    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
 
 
 # --- as-of join (event → latest order at-or-before) -----------------------
@@ -70,10 +60,6 @@ def rel_asof_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-
-
-def _prep_right_key(t: pa.Table) -> pa.Table:
-    return pa.table({"key": t["o_custkey"].cast(pa.int64())})
 
 
 # --- sliding window (1 h length, 15 min slide) ----------------------------
@@ -141,7 +127,7 @@ def rel_anti_join(sf_dir: str):
     ``Dataset.join(left_anti)`` (hash-shuffle on both sides). The right
     side is pre-filtered and projected to its key column at the read, so
     the shuffle moves keys only."""
-    from ntto_ray.stages.canonicalize import _shuffle_parallelism
+    from ntto_ray.stages.exchange import shuffle_parallelism
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).materialize()
     urgent = (
@@ -161,7 +147,7 @@ def rel_anti_join(sf_dir: str):
     return cust.join(
         urgent,
         "left_anti",
-        num_partitions=_shuffle_parallelism(),
+        num_partitions=shuffle_parallelism(),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -191,7 +177,12 @@ FROM t WHERE rank <= {_TOPK_K}
 def rel_topk_per_group(sf_dir: str):
     """Top-3 orders by price per priority: per-batch vectorized partial
     top-k (map-side combiner bounds shuffle volume at k × groups ×
-    blocks), then a tiny per-group final reduce."""
+    blocks), then a tiny per-group final reduce on a group-safe
+    hash exchange (hash_grouped + runs — not map_groups, whose
+    sort-shuffle range partitioning can split a key across blocks,
+    see stages/exchange.py)."""
+    from ntto_ray.stages.exchange import hash_grouped, runs
+
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
 
     def partial_topk(t: pa.Table) -> pa.Table:
@@ -212,19 +203,45 @@ def rel_topk_per_group(sf_dir: str):
             }
         )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["total_c", "o_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(_TOPK_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return (
-        ds.map_batches(partial_topk, batch_format="pyarrow")
-        .groupby("priority")
-        .map_groups(final_topk, batch_format="pandas")
+    out_schema = pa.schema(
+        [
+            ("priority", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("total_c", pa.int64()),
+            ("rank", pa.int64()),
+        ]
     )
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "priority" not in t.column_names:
+            return out_schema.empty_table()
+        pri = t["priority"].to_numpy(zero_copy_only=False)
+        okey = t["o_orderkey"].to_numpy()
+        total = t["total_c"].to_numpy()
+        cols = {k: [] for k in out_schema.names}
+        starts, ends = runs(pri)
+        for s, e in zip(starts, ends):
+            order = np.lexsort((okey[s:e], -total[s:e]))[:_TOPK_K]
+            k = len(order)
+            cols["priority"].append(np.repeat(pri[s], k))
+            cols["o_orderkey"].append(okey[s:e][order])
+            cols["total_c"].append(total[s:e][order])
+            cols["rank"].append(np.arange(1, k + 1, dtype=np.int64))
+        if not cols["priority"]:
+            return out_schema.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(cols["priority"]), type=pa.string()),
+                pa.array(np.concatenate(cols["o_orderkey"]), type=pa.int64()),
+                pa.array(np.concatenate(cols["total_c"]), type=pa.int64()),
+                pa.array(np.concatenate(cols["rank"]), type=pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    partial = ds.map_batches(partial_topk, batch_format="pyarrow")
+    grouped = hash_grouped(partial, ["priority"], sort=True)
+    return grouped.map_batches(final_topk, batch_size=None, batch_format="pyarrow")
 
 
 # --- exact distributed quantiles (value-count exchange) --------------------

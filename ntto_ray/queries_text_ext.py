@@ -38,8 +38,8 @@ def dedup_keep_canonical(sf_dir: str):
     from ntto_ray.stages.dedup import jaccard_pairs
     from ntto_ray.stages.graph import connected_components
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    labels = connected_components(jaccard_pairs(docs, threshold_pct=90))
+    pairs = jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold_pct=90)
+    labels = connected_components(pairs)
     lab = labels.to_pandas()
     dropped = lab.loc[lab["component"] != lab["doc_id"], "doc_id"].to_numpy(
         dtype=np.int64
@@ -55,7 +55,9 @@ def dedup_keep_canonical(sf_dir: str):
             keep = ~np.isin(ids, self.dropped)
             return pa.table({"doc_id": ids[keep]})
 
-    return docs.map_batches(
+    # id-only read for the filter pass — the text column (the bulk of the
+    # bytes) is not re-scanned just to be dropped
+    return _docs(sf_dir, ["doc_id"]).map_batches(
         DropDups,
         batch_format="pyarrow",
         concurrency=(1, 4),

@@ -21,6 +21,11 @@ import ray
 import ray.data
 
 
+class UnconvergedComponentsError(RuntimeError):
+    """Label propagation hit ``max_rounds`` before reaching a fixpoint —
+    returning the partial labels would silently split real components."""
+
+
 def connected_components(
     pairs: ray.data.Dataset,
     *,
@@ -33,8 +38,9 @@ def connected_components(
     every edge pushes ``min(label[a], label[b])`` to both endpoints and a
     grouped min folds the pushes; converged when no label changes. Round
     count is bounded by the component diameter — near-dup components are
-    clique-like (diameter 1-2), so 2-3 rounds in practice; ``max_rounds``
-    guards pathological chains.
+    clique-like (diameter 1-2), so 2-3 rounds in practice; a path graph
+    of diameter > ``max_rounds`` raises UnconvergedComponentsError
+    rather than silently returning split components.
 
     Returns (doc_id, component) with component = min node id reachable —
     matching the transitive-closure SQL oracle exactly."""
@@ -42,58 +48,54 @@ def connected_components(
 
     edges = pairs.select_columns([a_col, b_col]).materialize()
 
-    # node set + initial labels (result-scale driver arrays, sorted)
-    a_ids = np.unique(
-        np.concatenate(
-            [
-                edges.unique(a_col),
-                edges.unique(b_col),
-            ]
-        ).astype(np.int64)
+    # node set: ONE distributed pass over both endpoint columns
+    def emit_nodes(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy().astype(np.int64)
+        b = t[b_col].to_numpy().astype(np.int64)
+        return pa.table({"node": np.unique(np.concatenate([a, b]))})
+
+    nodes = np.array(
+        sorted(
+            edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
+        ),
+        dtype=np.int64,
     )
-    labels = a_ids.copy()
+    labels = nodes.copy()
+
+    def push_min(t: pa.Table, *, ref) -> pa.Table:
+        """Per edge block: push min(label[a], label[b]) to both ends.
+        Plain task (not an actor pool) — the label ref changes every
+        round, so per-round actor spin-up would only add overhead."""
+        if t.num_rows == 0:
+            return pa.schema([("node", pa.int64()), ("lab", pa.int64())]).empty_table()
+        node_arr, lab_arr = ray.get(ref)
+        a = t[a_col].to_numpy().astype(np.int64)
+        b = t[b_col].to_numpy().astype(np.int64)
+        la = lab_arr[np.searchsorted(node_arr, a)]
+        lb = lab_arr[np.searchsorted(node_arr, b)]
+        m = np.minimum(la, lb)
+        return pa.table(
+            {"node": np.concatenate([a, b]), "lab": np.concatenate([m, m])}
+        )
 
     for _ in range(max_rounds):
-        ref = ray.put((a_ids, labels))
-
-        class PushMin:
-            def __init__(self, ref):
-                self.nodes, self.labels = ray.get(ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if t.num_rows == 0:
-                    return pa.schema(
-                        [("node", pa.int64()), ("lab", pa.int64())]
-                    ).empty_table()
-                a = t[a_col].to_numpy().astype(np.int64)
-                b = t[b_col].to_numpy().astype(np.int64)
-                la = self.labels[np.searchsorted(self.nodes, a)]
-                lb = self.labels[np.searchsorted(self.nodes, b)]
-                m = np.minimum(la, lb)
-                return pa.table(
-                    {
-                        "node": np.concatenate([a, b]),
-                        "lab": np.concatenate([m, m]),
-                    }
-                )
-
-        pushed = edges.map_batches(
-            PushMin,
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-            fn_constructor_kwargs={"ref": ref},
-        )
+        ref = ray.put((nodes, labels))
         folded = (
-            pushed.groupby("node")
+            edges.map_batches(push_min, batch_format="pyarrow", fn_kwargs={"ref": ref})
+            .groupby("node")
             .aggregate(Min("lab", alias_name="lab"))
             .to_pandas()
-            .sort_values("node")
         )
         new_labels = labels.copy()
-        idx = np.searchsorted(a_ids, folded["node"].to_numpy())
+        idx = np.searchsorted(nodes, folded["node"].to_numpy())
         np.minimum.at(new_labels, idx, folded["lab"].to_numpy())
         if np.array_equal(new_labels, labels):
             break
         labels = new_labels
+    else:
+        raise UnconvergedComponentsError(
+            f"no fixpoint after {max_rounds} rounds — component diameter "
+            f"exceeds max_rounds; raise max_rounds for chain-like graphs"
+        )
 
-    return pa.table({"doc_id": a_ids, "component": labels})
+    return pa.table({"doc_id": nodes, "component": labels})
