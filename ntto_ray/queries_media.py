@@ -71,6 +71,38 @@ def media_frame_sample(sf_dir: str):
 
 
 @register(
+    "media_audio_windows",
+    oracle="""
+WITH aud AS (
+  -- mirrors synth_media's audio payloads: hex = repeat(sha256(id)),
+  -- 32*(4 + id%4) bytes → 2*(4 + id%4) windows of 16 uint8 samples
+  SELECT event_id AS media_id,
+         repeat(sha256(CAST(event_id AS VARCHAR)), 4 + event_id % 4) AS hex,
+         2 * (4 + event_id % 4) AS nwin
+  FROM events WHERE event_id % 3 = 1
+),
+w AS (SELECT media_id, hex, unnest(generate_series(0, nwin - 1)) AS window_idx FROM aud),
+b AS (
+  SELECT media_id, window_idx,
+         (strpos('0123456789abcdef', substr(hex, 2*(16*window_idx + j.j) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hex, 2*(16*window_idx + j.j) + 2, 1)) - 1) AS byte
+  FROM w CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+)
+SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx,
+       CAST(sum(byte*byte) AS BIGINT) AS energy
+FROM b GROUP BY 1, 2
+""",
+)
+def media_audio_windows(sf_dir: str):
+    """Audio windowed-energy extraction (16-sample windows over the
+    payload bytes as fake PCM) — the windowed-signal kernel pattern on
+    binary columns, integer-exact and fully SQL-mirrored."""
+    from ntto_ray.stages.multimodal import audio_windows
+
+    return audio_windows(_media(sf_dir), window=16)
+
+
+@register(
     "media_decode_features",
     oracle="""
 WITH img AS (

@@ -322,3 +322,43 @@ def rel_group_quantiles(sf_dir: str):
     partial = ds.map_batches(value_counts, batch_format="pyarrow")
     grouped = hash_grouped(partial, ["l_returnflag"], sort=True)
     return grouped.map_batches(quantiles, batch_size=None, batch_format="pyarrow")
+
+
+# --- semi-structured extraction (JSON props column) ------------------------
+
+@register(
+    "rel_json_extract",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1
+""",
+)
+def rel_json_extract(sf_dir: str):
+    """Semi-structured column extraction: pull the integer field ``k``
+    out of the JSON ``props`` string with ONE vectorized
+    ``extract_regex`` kernel (the props schema is fixed '{"k": N}' —
+    a general parser would be a per-row json.loads fallback, the
+    sources/ndjson.py pattern), then a grouped aggregate."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            t["props"].combine_chunks(), pattern=r'"k":\s*(?P<k>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="cnt"),
+            Sum("k", alias_name="sum_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )

@@ -162,6 +162,66 @@ class FrameSampler:
         )
 
 
+class AudioWindows:
+    """Audio windowed-energy stage (stub decode): payload bytes stand in
+    for uint8 PCM samples; emits one row per non-overlapping
+    ``window``-sample window with its integer energy (sum of squared
+    samples — exact, so SQL-mirrorable; a real RMS adds one sqrt at the
+    consumer). Fully vectorized: one frombuffer over the batch's
+    concatenated payloads + one ``np.add.reduceat`` over window starts —
+    no per-row or per-window Python."""
+
+    def __init__(self, window: int = 16):
+        self.window = window
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        aud = np.flatnonzero(kind == "audio")
+        if len(aud) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64())] * 3,
+                names=["media_id", "window_idx", "energy"],
+            )
+        mid = t["media_id"].to_numpy()[aud]
+        payloads = t["payload"].take(pa.array(aud)).to_pylist()
+        lens = np.array([len(p) for p in payloads], dtype=np.int64)
+        # synth_media payloads are 32*k bytes; guard the general case by
+        # truncating any tail shorter than one window
+        samples = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+        nwin = lens // self.window
+        total = int(nwin.sum())
+        if total == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64())] * 3,
+                names=["media_id", "window_idx", "energy"],
+            )
+        row = np.repeat(np.arange(len(aud), dtype=np.int64), nwin)
+        widx = np.arange(len(row), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nwin)[:-1]]), nwin
+        )
+        payload_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        starts = payload_off[row] + widx * self.window
+        sq = samples * samples
+        # reduceat sums [starts[i], starts[i+1]) — window starts are not
+        # contiguous across payload tails, so sum squares cumulative-style
+        csum = np.concatenate([[0], np.cumsum(sq)])
+        energy = csum[starts + self.window] - csum[starts]
+        return pa.Table.from_arrays(
+            [pa.array(mid[row]), pa.array(widx), pa.array(energy)],
+            names=["media_id", "window_idx", "energy"],
+        )
+
+
+def audio_windows(media: ray.data.Dataset, *, window: int = 16) -> ray.data.Dataset:
+    return media.map_batches(
+        AudioWindows,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"window": window},
+    )
+
+
 def decode_features(media: ray.data.Dataset, *, fake: bool = True) -> ray.data.Dataset:
     """Image-decode feature extraction over the media table. Small batches
     + bounded actor pool: binary payloads are heavy."""
