@@ -144,3 +144,96 @@ def test_quantile_disc_semantics(ray_session, duck):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_simhash_banding_matches_bruteforce_random(ray_session):
+    """Property check: on 300 random fingerprints, banded pair discovery
+    equals brute-force all-pairs Hamming<=3 exactly (not just recall)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    import ntto_ray.stages.dedup as d
+    from ntto_ray.stages.dedup import _hamming64, simhash_pairs
+
+    rng = np.random.RandomState(123)
+    n = 300
+    fps = rng.randint(0, 1 << 62, size=n).astype(np.uint64)
+    # plant near-dup pairs: clones of earlier fps with 0-3 flipped bits
+    for i in range(0, 60, 2):
+        flips = rng.choice(64, size=rng.randint(0, 4), replace=False)
+        v = fps[i]
+        for b in flips:
+            v ^= np.uint64(1) << np.uint64(b)
+        fps[i + 1] = v
+    ids = np.arange(1, n + 1, dtype=np.int64)
+
+    a, b = np.triu_indices(n, k=1)
+    h = _hamming64(fps[a], fps[b])
+    want = sorted(
+        (int(ids[x]), int(ids[y]), int(hh))
+        for x, y, hh in zip(a[h <= 3], b[h <= 3], h[h <= 3])
+    )
+
+    fake = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "simhash": pa.array(fps)})
+    )
+    orig = d.simhash_fingerprints
+    d.simhash_fingerprints = lambda docs: fake
+    try:
+        out = simhash_pairs(
+            ray.data.from_items([{"doc_id": 0, "text": "x"}]), max_hamming=3, bands=4
+        ).to_pandas()
+    finally:
+        d.simhash_fingerprints = orig
+    got = sorted(
+        (int(r.doc_a), int(r.doc_b), int(r.hamming)) for r in out.itertuples()
+    )
+    assert got == want
+
+
+def test_asof_join_matches_bruteforce_random(ray_session):
+    """500 random events x 200 random orders across 20 keys: the
+    distributed as-of join equals a brute-force per-row scan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ntto_ray.stages.joins import asof_join_latest
+
+    rng = np.random.RandomState(7)
+    ne, no, nk = 500, 200, 20
+    l_key = rng.randint(1, nk + 1, ne).astype(np.int64)
+    l_ts = rng.randint(0, 1000, ne).astype(np.int64)
+    l_id = np.arange(1, ne + 1, dtype=np.int64)
+    r_key = rng.randint(1, nk + 1, no).astype(np.int64)
+    r_ts = rng.randint(0, 1000, no).astype(np.int64)
+    r_id = np.arange(1, no + 1, dtype=np.int64)
+
+    want = []
+    for i in range(ne):
+        m = (r_key == l_key[i]) & (r_ts <= l_ts[i])
+        if m.any():
+            cand = np.flatnonzero(m)
+            best = cand[np.lexsort((r_id[cand], r_ts[cand]))[-1]]
+            want.append((int(l_id[i]), int(l_key[i]), int(r_id[best])))
+    want.sort()
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {"eid": l_id, "k": l_key, "ts": pa.array(l_ts, type=pa.timestamp("us"))}
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {"oid": r_id, "k": r_key, "ots": pa.array(r_ts, type=pa.timestamp("us"))}
+        )
+    )
+    out = asof_join_latest(
+        left, right, left_key="k", right_key="k",
+        left_ts="ts", right_ts="ots", left_id="eid", right_id="oid",
+    ).to_pandas()
+    got = sorted(
+        (int(r.left_id), int(r.key), int(r.right_id)) for r in out.itertuples()
+    )
+    assert got == want
