@@ -121,7 +121,10 @@ def run_bench() -> dict:
         "dedup_exact_fulltext",
         "dedup_jaccard_pairs",
         "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
         "text_token_stats",
+        "text_tfidf_top_terms",
+        "rel_asof_join",
         "ann_bruteforce_topk",
     ):
         t0 = time.time()
@@ -214,13 +217,24 @@ def run_scaling() -> dict:
     headline = pair(2, 8, rounds=2)
     secondary = pair(8, 32, rounds=1)
     host = ceiling(8, 32)
+    # SAME-MOMENT host ceiling for the headline pair: the pipeline's 2→8
+    # number can only be read against what pure kernel work scales to on
+    # this box AT THE SAME TIME — external-tenant load depresses both
+    # together, so the ratio attributes pipeline-vs-host cleanly per run.
+    host_lo = ceiling(2, 8)
     return {
         "metric": "scaling efficiency (N vs 4N cpus, same input, best-of interleaved)",
         "value": headline["scaling_efficiency"],
         "unit": "efficiency",
         "headline_2_to_8": headline,
         "secondary_8_to_32": secondary,
+        "host_ceiling_2_to_8_no_ray": host_lo,
         "host_ceiling_8_to_32_no_ray": host,
+        "pipeline_vs_host_2_to_8": round(
+            headline["scaling_efficiency"]
+            / max(host_lo.get("host_ceiling_efficiency", 1.0), 1e-9),
+            3,
+        ),
         "replicate": int(os.environ.get("SCALING_REPLICATE", "64")),
         "sf": SF_DIR,
     }
