@@ -63,9 +63,12 @@ def connected_components(
     labels = nodes.copy()
 
     def push_min(t: pa.Table, *, ref) -> pa.Table:
-        """Per edge block: push min(label[a], label[b]) to both ends.
-        Plain task (not an actor pool) — the label ref changes every
-        round, so per-round actor spin-up would only add overhead."""
+        """Per edge block: push min(label[a], label[b]) to both ends,
+        then FOLD within the block (np.minimum.at over the block's
+        distinct nodes) — the round's shuffle moves node-scale partials,
+        not 2×edges rows. Plain task (not an actor pool) — the label ref
+        changes every round, so per-round actor spin-up would only add
+        overhead."""
         if t.num_rows == 0:
             return pa.schema([("node", pa.int64()), ("lab", pa.int64())]).empty_table()
         node_arr, lab_arr = ray.get(ref)
@@ -74,9 +77,12 @@ def connected_components(
         la = lab_arr[np.searchsorted(node_arr, a)]
         lb = lab_arr[np.searchsorted(node_arr, b)]
         m = np.minimum(la, lb)
-        return pa.table(
-            {"node": np.concatenate([a, b]), "lab": np.concatenate([m, m])}
-        )
+        touched = np.concatenate([a, b])
+        pushed = np.concatenate([m, m])
+        uniq, inv = np.unique(touched, return_inverse=True)
+        part = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(part, inv, pushed)
+        return pa.table({"node": uniq, "lab": part})
 
     for _ in range(max_rounds):
         ref = ray.put((nodes, labels))
