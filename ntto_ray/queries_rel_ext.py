@@ -362,3 +362,38 @@ def rel_json_extract(sf_dir: str):
             Max("k", alias_name="max_k"),
         )
     )
+
+
+# --- interval self-join (trailing-window rate count) -----------------------
+
+@register(
+    "rel_range_join",
+    oracle="""
+SELECT a.event_id, a.user_id,
+       CAST(count(b.event_id) AS BIGINT) AS n_prev_hour
+FROM events a LEFT JOIN events b
+  ON b.user_id = a.user_id AND b.ts <= a.ts
+ AND b.ts > a.ts - INTERVAL 1 HOUR AND b.event_id != a.event_id
+GROUP BY 1, 2
+""",
+)
+def rel_range_join(sf_dir: str):
+    """Trailing-window rate count (events per user in the preceding
+    hour) — an interval self-join expressed as one key exchange + two
+    binary searches per row (stages/joins.py interval_count_self)."""
+    from ntto_ray.stages.joins import interval_count_self
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = interval_count_self(
+        ds, key="user_id", ts="ts", id_col="event_id", window_us=3600 * 1_000_000
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["rid"],
+                "user_id": t["key"],
+                "n_prev_hour": t["n_window"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -127,3 +127,71 @@ def asof_join_latest(
         )
 
     return grouped.map_batches(kernel, batch_size=None, batch_format="pyarrow")
+
+
+def interval_count_self(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    ts: str,
+    id_col: str,
+    window_us: int,
+) -> ray.data.Dataset:
+    """Interval self-join as a count: for every row, how many OTHER rows
+    of the same ``key`` fall in the half-open window
+    (ts - window_us, ts]. The streaming rate-counting primitive (events
+    per user per trailing hour) — a range join Ray Data has no operator
+    for, built as ONE hash exchange on the key + two binary searches per
+    row inside each key run (the sessionization partitioning budget).
+    Rows with zero neighbors are kept (left-join semantics)."""
+
+    prep_schema = pa.schema(
+        [("key", pa.int64()), ("ts_us", pa.int64()), ("rid", pa.int64())]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return conform(
+            pa.table(
+                {
+                    "key": t[key].cast(pa.int64()),
+                    "ts_us": t[ts].cast(pa.timestamp("us")).cast(pa.int64()),
+                    "rid": t[id_col].cast(pa.int64()),
+                }
+            ),
+            prep_schema,
+        )
+
+    grouped = hash_grouped(
+        ds.map_batches(prep, batch_format="pyarrow"), ["key"], sort=True
+    )
+
+    out_schema = pa.schema(
+        [("rid", pa.int64()), ("key", pa.int64()), ("n_window", pa.int64())]
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return out_schema.empty_table()
+        k = t["key"].to_numpy()
+        tsv = t["ts_us"].to_numpy()
+        rid = t["rid"].to_numpy()
+        out_r, out_k, out_n = [], [], []
+        starts, ends = runs(k)
+        for s, e in zip(starts, ends):
+            sub = np.sort(tsv[s:e])
+            upper = np.searchsorted(sub, tsv[s:e], side="right")
+            lower = np.searchsorted(sub, tsv[s:e] - window_us, side="right")
+            n = upper - lower - 1  # exclude self (always inside its window)
+            out_r.append(rid[s:e])
+            out_k.append(k[s:e])
+            out_n.append(n.astype(np.int64))
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_r)),
+                pa.array(np.concatenate(out_k)),
+                pa.array(np.concatenate(out_n)),
+            ],
+            schema=out_schema,
+        )
+
+    return grouped.map_batches(kernel, batch_size=None, batch_format="pyarrow")
