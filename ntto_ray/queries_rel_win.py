@@ -1,0 +1,535 @@
+"""Window / multi-join / pivot / rollup / sampling operators (round 2,
+second batch): per-partition window functions, a chained multi-way
+shuffle join, pivoted + rollup aggregates, a native semi join, and a
+deterministic stratified sampler — each Ray-Data-first with an exact
+DuckDB oracle. Same exactness discipline as queries_rel.py (monetary
+doubles → integer cents before any aggregate; no floats in output)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ntto_ray.queries_rel import _cents, _read
+from ntto_ray.registry import register
+
+_DAY_US = 86_400 * 1_000_000
+
+
+# --- window functions: row_number / cumulative sum / lag ------------------
+
+@register(
+    "rel_window_cumsum",
+    oracle="""
+WITH w AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+         row_number() OVER win AS order_seq,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER win AS cum_spend_c,
+         lag(o_orderdate) OVER win AS prev_date
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, o_orderkey,
+       CAST(order_seq AS BIGINT) AS order_seq,
+       CAST(cum_spend_c AS BIGINT) AS cum_spend_c,
+       CAST(COALESCE(datediff('day', prev_date, o_orderdate), -1) AS BIGINT)
+         AS gap_days
+FROM w
+""",
+)
+def rel_window_cumsum(sf_dir: str):
+    """Per-partition window functions (row_number + running sum + lag) in
+    one pass: hash-partition orders by customer (group-safe exchange —
+    every customer's rows land whole in one block), then a single
+    vectorized per-block kernel lexsorts by (custkey, date, key) and
+    computes all three window columns with run-segmented cumsums. One
+    shuffle total; the window itself is O(block) numpy, no per-row
+    Python and no driver materialization."""
+    from ntto_ray.stages.exchange import hash_grouped
+
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "date_us": t["o_orderdate"].cast(pa.int64()),
+                "total_c": _cents(t["o_totalprice"]),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("order_seq", pa.int64()),
+            ("cum_spend_c", pa.int64()),
+            ("gap_days", pa.int64()),
+        ]
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return out_schema.empty_table()
+        cust = t["o_custkey"].to_numpy()
+        okey = t["o_orderkey"].to_numpy()
+        dus = t["date_us"].to_numpy()
+        total = t["total_c"].to_numpy()
+        order = np.lexsort((okey, dus, cust))
+        cust, okey, dus, total = cust[order], okey[order], dus[order], total[order]
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]]).astype(np.int64)
+        lens = np.diff(np.r_[starts, len(cust)])
+        # run-segmented cumulative sum: global cumsum minus each run's base
+        c = np.cumsum(total)
+        cum = c - np.repeat(c[starts] - total[starts], lens)
+        seq = np.arange(len(cust), dtype=np.int64) - np.repeat(starts, lens) + 1
+        # lag: calendar-day gap to the previous order in the partition
+        # (epoch-day floor diff == SQL datediff('day') boundary count)
+        days = dus // _DAY_US
+        gap = np.empty(len(days), dtype=np.int64)
+        gap[1:] = days[1:] - days[:-1]
+        gap[starts] = -1
+        return pa.table(
+            {
+                "o_custkey": cust,
+                "o_orderkey": okey,
+                "order_seq": seq,
+                "cum_spend_c": cum,
+                "gap_days": gap,
+            }
+        )
+
+    grouped = hash_grouped(
+        ds.map_batches(prep, batch_format="pyarrow"), ["o_custkey"]
+    )
+    return grouped.map_batches(window, batch_format="pyarrow", batch_size=None)
+
+
+# --- multi-way join: lineitem ⋈ orders ⋈ customer ⋈ nation -----------------
+
+@register(
+    "rel_multiway_join",
+    oracle="""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+""",
+)
+def rel_multiway_join(sf_dir: str):
+    """Chained distributed joins, TPC-H Q5 shape: revenue per nation per
+    year through lineitem ⋈ orders ⋈ customer with the 25-row nation
+    dim folded in map-side. Scale shape: lineitem is pre-aggregated per
+    order key INSIDE map_batches before the first shuffle join (the
+    map-side combiner cuts join input ~4×), both joins are hash
+    exchanges on the repartitioned key, and only the result-scale
+    (nation × year) aggregate leaves the last stage."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.stages.canonicalize import _shuffle_parallelism
+    from ntto_ray.stages.exchange import conform
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, type=pa.int64()), _cents(t["l_discount"])),
+        )
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "rev_c4": rev})
+            .group_by("l_orderkey")
+            .aggregate([("rev_c4", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "rev_c4"])
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = nat["n_nationkey"].cast(pa.int64())
+    nname = nat["n_name"]
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "yr": pc.year(t["o_orderdate"]).cast(pa.int64()),
+            }
+        )
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow").materialize()
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_prep, batch_format="pyarrow")
+        .materialize()
+    )
+    j1 = li_agg.join(
+        orders,
+        "inner",
+        num_partitions=_shuffle_parallelism(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    j1_schema = pa.schema(
+        [("o_custkey", pa.int64()), ("yr", pa.int64()), ("rev_c4", pa.int64())]
+    )
+    j1 = j1.map_batches(
+        lambda t: conform(t, j1_schema), batch_format="pyarrow"
+    ).materialize()
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    j2 = j1.join(
+        cust,
+        "inner",
+        num_partitions=_shuffle_parallelism(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def fold_nation(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("n_name", pa.string()), ("yr", pa.int64()), ("rev_c4", pa.int64())]
+        )
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return schema.empty_table()
+        idx = pc.index_in(t["c_nationkey"], nk)
+        return pa.table(
+            {"n_name": pc.take(nname, idx), "yr": t["yr"], "rev_c4": t["rev_c4"]}
+        )
+
+    return (
+        j2.map_batches(fold_nation, batch_format="pyarrow")
+        .groupby(["n_name", "yr"])
+        .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+    )
+
+
+# --- pivot: order counts, segment rows × priority columns ------------------
+
+_PRIORITIES = (
+    ("1-URGENT", "p_urgent"),
+    ("2-HIGH", "p_high"),
+    ("3-MEDIUM", "p_medium"),
+    ("4-NOT SPECIFIED", "p_not_specified"),
+    ("5-LOW", "p_low"),
+)
+
+_PIVOT_FILTERS = ",\n       ".join(
+    f"CAST(count(*) FILTER (WHERE o_orderpriority = '{v}') AS BIGINT) AS {c}"
+    for v, c in _PRIORITIES
+)
+
+
+@register(
+    "rel_pivot_priority",
+    oracle=f"""
+SELECT c_mktsegment AS segment,
+       {_PIVOT_FILTERS}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
+)
+def rel_pivot_priority(sf_dir: str):
+    """Pivot (long → wide): order counts per market segment × order
+    priority, as ONE grouped aggregate — each order row becomes five
+    0/1 indicator ints inside map_batches (vectorized dictionary
+    compare), so the pivot needs no second reshape pass and the shuffle
+    moves segment-scale partials only. The segment dim rides in via the
+    broadcast searchsorted join (ray.put once, read per actor)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    ref = ray.put((cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
+
+    class Indicators:
+        def __init__(self, ref):
+            self.keys, self.segs = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy()
+            idx = np.searchsorted(self.keys, ck)
+            ok = (idx < len(self.keys)) & (
+                self.keys[np.minimum(idx, len(self.keys) - 1)] == ck
+            )
+            pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)[ok]
+            cols = {"segment": pa.array(self.segs[idx[ok]], type=pa.string())}
+            for val, name in _PRIORITIES:
+                cols[name] = pa.array((pri == val).astype(np.int64))
+            return pa.table(cols)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    ind = orders.map_batches(
+        Indicators,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": ref},
+    )
+    return ind.groupby("segment").aggregate(
+        *[Sum(name, alias_name=name) for _, name in _PRIORITIES]
+    )
+
+
+# --- rollup: revenue by (nation, year) with subtotals ----------------------
+
+@register(
+    "rel_rollup_revenue",
+    oracle="""
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+""",
+)
+def rel_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP as a Ray Data composition: the full-resolution
+    (nation, year) aggregate runs distributed once; the nation subtotals
+    and the grand total are then derived FROM that result-scale
+    aggregate (25 × 7 rows) — never from a second pass over the fact
+    table — and unioned. Rolled-up columns render as 'ALL'."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    nnames = cust["c_nationkey"].map(nmap).to_numpy()
+    ref = ray.put((cust["c_custkey"].to_numpy(), nnames))
+
+    class JoinNation:
+        def __init__(self, ref):
+            self.keys, self.names = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy()
+            idx = np.searchsorted(self.keys, ck)
+            ok = (idx < len(self.keys)) & (
+                self.keys[np.minimum(idx, len(self.keys) - 1)] == ck
+            )
+            t = t.filter(pa.array(ok))
+            return pa.table(
+                {
+                    "nation": pa.array(self.names[idx[ok]], type=pa.string()),
+                    "yr": pc.cast(pc.year(t["o_orderdate"]), pa.string()),
+                    "revenue_c": _cents(t["o_totalprice"]),
+                }
+            )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    base = (
+        orders.map_batches(
+            JoinNation,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"ref": ref},
+        )
+        .groupby(["nation", "yr"])
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .materialize()  # result-scale (nations × years); reused 3×
+    )
+    sub = (
+        base.groupby("nation")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "nation": t["nation"],
+                    "yr": pa.array(["ALL"] * t.num_rows, type=pa.string()),
+                    "revenue_c": t["revenue_c"],
+                }
+            )
+            if t.num_rows
+            else pa.schema(
+                [("nation", pa.string()), ("yr", pa.string()), ("revenue_c", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+    grand_val = base.sum("revenue_c")
+    import ray.data as rd
+
+    grand = rd.from_arrow(
+        pa.table(
+            {
+                "nation": pa.array(["ALL"]),
+                "yr": pa.array(["ALL"]),
+                "revenue_c": pa.array([grand_val], type=pa.int64()),
+            }
+        )
+    )
+    return base.select_columns(["nation", "yr", "revenue_c"]).union(sub, grand)
+
+
+# --- semi join (native Dataset.join left_semi) ------------------------------
+
+@register(
+    "rel_semi_join",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+)
+def rel_semi_join(sf_dir: str):
+    """EXISTS via the native distributed left-semi hash join: customers
+    with at least one URGENT order. The probe side is pre-filtered and
+    projected to its key column only before the exchange, so the
+    shuffle moves one int64 per urgent order. Complements
+    rel_anti_join (NOT EXISTS) on the same join machinery."""
+    from ntto_ray.stages.canonicalize import _shuffle_parallelism
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).materialize()
+    urgent = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t.filter(
+                        pc.equal(t["o_orderpriority"], "1-URGENT")
+                    )["o_custkey"]
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    return cust.join(
+        urgent,
+        "left_semi",
+        num_partitions=_shuffle_parallelism(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+
+# --- deterministic stratified sample ---------------------------------------
+
+_SAMPLE_K = 20
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (public)
+_MOD = 4294967296  # 2^32
+
+
+@register(
+    "rel_stratified_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT c_mktsegment AS segment, c_custkey,
+         (c_custkey * {_KNUTH}) % {_MOD} AS hsh,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY (c_custkey * {_KNUTH}) % {_MOD}, c_custkey
+         ) AS rank
+  FROM customer
+)
+SELECT segment, c_custkey, CAST(hsh AS BIGINT) AS hsh,
+       CAST(rank AS BIGINT) AS rank
+FROM h WHERE rank <= {_SAMPLE_K}
+""",
+)
+def rel_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: {_SAMPLE_K} customers per
+    market segment, chosen as the bottom-k by a Knuth multiplicative
+    hash of the key — reproducible across runs/engines (the SQL oracle
+    computes the identical hash), uniform within each stratum, and
+    distributed as a bounded top-k: per-block partial bottom-k (shuffle
+    volume ≤ k × strata × blocks) then a tiny per-stratum final reduce
+    on the group-safe hash exchange."""
+    from ntto_ray.stages.exchange import hash_grouped, runs
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy()
+        seg = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        hsh = (ck * _KNUTH) % _MOD
+        codes, inv = np.unique(seg, return_inverse=True)
+        order = np.lexsort((ck, hsh, inv))
+        inv_s = inv[order]
+        starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+        rank = np.arange(len(inv_s)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(inv_s)])
+        )
+        keep = order[rank < _SAMPLE_K]
+        return pa.table(
+            {
+                "segment": pa.array(seg[keep], type=pa.string()),
+                "c_custkey": ck[keep],
+                "hsh": hsh[keep],
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("segment", pa.string()),
+            ("c_custkey", pa.int64()),
+            ("hsh", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "segment" not in t.column_names:
+            return out_schema.empty_table()
+        seg = t["segment"].to_numpy(zero_copy_only=False)
+        ck = t["c_custkey"].to_numpy()
+        hsh = t["hsh"].to_numpy()
+        order = np.lexsort((ck, hsh, seg))
+        seg, ck, hsh = seg[order], ck[order], hsh[order]
+        starts, ends = runs(seg)
+        rank = np.arange(len(seg), dtype=np.int64) - np.repeat(
+            starts, ends - starts
+        ) + 1
+        keep = rank <= _SAMPLE_K
+        return pa.table(
+            {
+                "segment": pa.array(seg[keep], type=pa.string()),
+                "c_custkey": ck[keep],
+                "hsh": hsh[keep],
+                "rank": rank[keep],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    grouped = hash_grouped(partials, ["segment"])
+    return grouped.map_batches(final, batch_format="pyarrow", batch_size=None)

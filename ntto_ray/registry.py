@@ -52,6 +52,7 @@ def _load():
         queries_media,
         queries_rel,
         queries_rel_ext,
+        queries_rel_win,
         queries_text,
         queries_text_ext,
     )
