@@ -254,3 +254,159 @@ def text_bigram_counts(sf_dir: str):
         .sort(["cnt", "bigram"], descending=[True, False])
         .limit(_BIGRAM_K)
     )
+
+
+# --- PII scrubbing (regex redaction) ----------------------------------------
+
+# RE2 patterns — identical semantics in pyarrow (count/replace_substring_regex)
+# and DuckDB (regexp_extract_all/regexp_replace): both engines are RE2.
+_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RX = r"https?://[^ ]+"
+
+# The synthetic corpus contains no PII, so the query plants a
+# deterministic fixture first (mirrored byte-for-byte in the oracle):
+# every doc gains one email + one URL derived from its id, and docs with
+# id % 5 == 0 gain a second email. The operator under test is the
+# scrub itself: count occurrences, redact, fingerprint the redacted text.
+_PII_SQL = """
+SELECT doc_id,
+       text || ' contact user' || doc_id || '@example.com see https://ex.org/d/'
+            || doc_id
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' cc admin' || doc_id || '@ex.net' ELSE '' END
+         AS ptext
+FROM documents
+"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH p AS ({_PII_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(ptext, '{_EMAIL_RX}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(ptext, '{_URL_RX}')) AS BIGINT) AS n_urls,
+       md5(regexp_replace(regexp_replace(ptext, '{_EMAIL_RX}', '<EMAIL>', 'g'),
+                          '{_URL_RX}', '<URL>', 'g')) AS scrub_md5
+FROM p
+""",
+)
+def text_pii_scrub(sf_dir: str):
+    """PII redaction over the document stream: count + scrub emails and
+    URLs with compiled RE2 kernels (pyarrow count/replace_substring_regex
+    — one C++ pass per pattern, no per-row Python except the md5
+    fingerprint of the scrubbed text). The deterministic PII fixture is
+    injected in the same batch (the corpus itself is PII-free)."""
+    import hashlib
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        ids_s = pc.cast(ids, pa.string())
+        extra = pc.if_else(
+            pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5)), 0),
+            pc.binary_join_element_wise(" cc admin", ids_s, "@ex.net", ""),
+            "",
+        )
+        ptext = pc.binary_join_element_wise(
+            t["text"],
+            " contact user",
+            ids_s,
+            "@example.com see https://ex.org/d/",
+            ids_s,
+            extra,
+            "",
+        )
+        n_emails = pc.count_substring_regex(ptext, _EMAIL_RX).cast(pa.int64())
+        n_urls = pc.count_substring_regex(ptext, _URL_RX).cast(pa.int64())
+        scrubbed = pc.replace_substring_regex(
+            pc.replace_substring_regex(ptext, _EMAIL_RX, "<EMAIL>"),
+            _URL_RX,
+            "<URL>",
+        )
+        md5s = [
+            hashlib.md5(x.encode()).hexdigest()
+            for x in scrubbed.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_emails": n_emails,
+                "n_urls": n_urls,
+                "scrub_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+# --- repetition signals (Gopher-style quality) ------------------------------
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tcnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+tagg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok_cnt,
+                CAST(sum(c) AS BIGINT) AS n_tokens
+         FROM tcnt GROUP BY 1),
+big AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+),
+bcnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+bagg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_cnt FROM bcnt GROUP BY 1)
+SELECT t.doc_id, t.n_tokens, t.top_tok_cnt,
+       CAST(COALESCE(b.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt
+FROM tagg t LEFT JOIN bagg b USING (doc_id)
+""",
+)
+def text_repetition(sf_dir: str):
+    """Per-document repetition signals (the Gopher/MassiveText quality
+    rules): count of the most frequent token and of the most frequent
+    bigram. Document-local by construction — each doc is one row, so
+    the whole operator is a single map_batches with vectorized
+    tokenize + two grouped max-counts; no shuffle at any scale."""
+    import pandas as pd
+
+    from ntto_ray.stages.dedup import _tokenize
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def repetition(t: pa.Table) -> pa.Table:
+        flat, offsets = _tokenize(t["text"].combine_chunks())
+        n = t.num_rows
+        parent = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        df = pd.DataFrame({"p": parent, "tok": flat})
+        per_tok = df.groupby(["p", "tok"], sort=False).size()
+        top_tok = per_tok.groupby(level=0).max()
+        n_tokens = np.diff(offsets)
+        top_big = np.zeros(n, dtype=np.int64)
+        if len(flat) >= 2:
+            mask = parent[:-1] == parent[1:]
+            if mask.any():
+                bg = pc.binary_join_element_wise(
+                    pa.array(flat[:-1][mask], type=pa.string()),
+                    pa.array(flat[1:][mask], type=pa.string()),
+                    " ",
+                )
+                bdf = pd.DataFrame(
+                    {"p": parent[:-1][mask], "bg": bg.to_numpy(zero_copy_only=False)}
+                )
+                per_bg = bdf.groupby(["p", "bg"], sort=False).size()
+                tb = per_bg.groupby(level=0).max()
+                top_big[tb.index.to_numpy()] = tb.to_numpy()
+        out_top = np.zeros(n, dtype=np.int64)
+        out_top[top_tok.index.to_numpy()] = top_tok.to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "top_tok_cnt": out_top,
+                "top_bigram_cnt": top_big,
+            }
+        )
+
+    return docs.map_batches(repetition, batch_format="pyarrow")
