@@ -1,0 +1,152 @@
+"""Sketch-based operators (round 2): heavy hitters, distinct-count and
+Bloom semi-join — each a mergeable O(k)-state streaming sketch
+(stages/sketch.py) wrapped so the final answer is EXACT and therefore
+checkable against a DuckDB oracle. The reference has no aggregation
+surface at all (ntto.go:162-206); these are engine additions mandated by
+the large-scale-pipeline brief."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ntto_ray.queries_rel import _read
+from ntto_ray.registry import register
+from ntto_ray.stages import sketch as sk
+
+# --- heavy hitters --------------------------------------------------------
+
+_MG_K = 2048  # candidate capacity; exactness needs k >= N/threshold
+_HH_DIV = 1250  # threshold = max(1, N // _HH_DIV) i.e. 0.08% of events
+
+
+@register(
+    "sketch_heavy_hitters",
+    oracle=f"""
+SELECT user_id, count(*) AS cnt
+FROM events
+GROUP BY user_id
+HAVING count(*) >= greatest(1, (SELECT count(*) FROM events) // {_HH_DIV})
+""",
+)
+def sketch_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact heavy hitters in two bounded passes: (1) per-block
+    Misra-Gries summaries (O(k) rows each) merged on the driver into a
+    candidate set that provably contains every key with count >=
+    N/(k+1); (2) exact counts for the bounded candidate set only
+    (broadcast membership filter + map-side value_counts + tiny driver
+    merge). With k = {_MG_K} >= N/threshold the candidate superset
+    guarantee covers the {1/_HH_DIV:.2%} threshold, so the output equals
+    the exact GROUP BY/HAVING answer at any corpus size."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    parts = ev.map_batches(
+        lambda t: sk.mg_partial(t, "user_id", _MG_K),
+        batch_format="pyarrow",
+    ).to_pandas()
+    keys, _, n_total = sk.mg_merge(pa.Table.from_pandas(parts), _MG_K)
+    thresh = max(1, n_total // _HH_DIV)
+
+    import ray
+
+    cand_ref = ray.put(pa.array(np.sort(keys), pa.int64()))
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        kept = t.filter(pc.is_in(t["user_id"], value_set=cand))
+        p = sk.mg_partial(kept, "user_id", len(cand) + 1)
+        return p.select(["key", "cnt"]).rename_columns(["user_id", "cnt"])
+
+    counts = ev.map_batches(exact_counts, batch_format="pyarrow").to_pandas()
+    merged = counts.groupby("user_id", as_index=False)["cnt"].sum()
+    return merged[merged["cnt"] >= thresh].reset_index(drop=True)
+
+
+# --- KMV distinct count ---------------------------------------------------
+
+_KMV_K = 64
+
+
+@register(
+    "sketch_distinct_kmv",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT {sk.splitmix64_sql("user_id")} AS h FROM events
+),
+o AS (SELECT h FROM h ORDER BY h LIMIT {_KMV_K}),
+s AS (SELECT count(*) AS c, max(h) AS hk FROM o)
+SELECT CAST(CASE WHEN c < {_KMV_K} THEN c
+            ELSE CAST((CAST({_KMV_K - 1} AS UHUGEINT) * 18446744073709551616)
+                      // hk AS BIGINT) END AS BIGINT) AS est,
+       CAST(CASE WHEN c < {_KMV_K} THEN c ELSE {_KMV_K} END AS BIGINT)
+         AS k_used
+FROM s
+""",
+)
+def sketch_distinct_kmv(sf_dir: str) -> pd.DataFrame:
+    """Distinct users via a k-minimum-values sketch: per-block k
+    smallest distinct splitmix64 hashes (O(k) rows shipped per block),
+    driver merge, estimate (k-1)*2^64 // h_k. The hash chain and the
+    integer estimator are mirrored bit-for-bit in DuckDB UHUGEINT
+    arithmetic, so this probabilistic operator still has an EXACT
+    oracle. Below k distinct values the sketch is the distinct set
+    itself and the count is exact."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    parts = ev.map_batches(
+        lambda t: sk.kmv_partial(t, "user_id", _KMV_K),
+        batch_format="pyarrow",
+    ).to_pandas()
+    est, k_used = sk.kmv_estimate(
+        pa.table({"h": pa.array(parts["h"].to_numpy(), pa.uint64())}), _KMV_K
+    )
+    return pd.DataFrame({"est": [est], "k_used": [k_used]})
+
+
+# --- Bloom semi-join ------------------------------------------------------
+
+_BLOOM_SEGMENT = "BUILDING"
+
+
+@register(
+    "sketch_bloom_semijoin",
+    oracle=f"""
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+)
+""",
+)
+def sketch_bloom_semijoin(sf_dir: str):
+    """Semi-join via broadcast Bloom prefilter + exact verify: the
+    {_BLOOM_SEGMENT}-segment customer keys (bounded dim table) become an
+    m-bit filter ray.put ONCE and read per actor in __init__; each
+    orders batch is prefiltered vectorized (4 splitmix64 probes) and
+    survivors exact-checked with pc.is_in so false positives never
+    escape. One broadcast, zero shuffles."""
+    import ray
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr=f"c_mktsegment == '{_BLOOM_SEGMENT}'")
+        .select_columns(["c_custkey"])
+        .to_pandas()
+    )
+    keys = cust["c_custkey"].to_numpy().astype(np.int64)
+    m_bits = 1 << max(17, int(np.ceil(np.log2(16 * max(1, len(keys))))))
+    bloom_ref = ray.put(sk.bloom_build(keys, m_bits))
+    keyset_ref = ray.put(pa.array(np.sort(keys), pa.int64()))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return orders.map_batches(
+        sk.BloomProbe,
+        fn_constructor_kwargs={
+            "bloom_ref": bloom_ref,
+            "keyset_ref": keyset_ref,
+            "key": "o_custkey",
+            "m_bits": m_bits,
+            "out_cols": ["o_orderkey", "o_custkey"],
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

@@ -53,6 +53,7 @@ def _load():
         queries_rel,
         queries_rel_ext,
         queries_rel_win,
+        queries_sketch,
         queries_text,
         queries_text_ext,
     )

@@ -234,9 +234,10 @@ def jaccard_pairs(
         intersection sizes come from row-chunked Gram products
         ``B[r0:r1] @ B.T`` over the docs × group-vocabulary incidence
         matrix, with every per-chunk buffer PREALLOCATED and reused via
-        ``out=`` — the g×g intersection matrix and the O(g²) triu index
-        arrays are never materialized. That bounds peak memory at
-        chunk×g regardless of group size, and sidesteps first-touch
+        ``out=`` — O(g²) triu index arrays are never materialized, and
+        the incidence matrix switches to a vocab-chunked g×g
+        accumulation when the group vocabulary dwarfs the group, so
+        peak memory is min(2gu, g²+8192g). Reuse sidesteps first-touch
         page-fault cost on freshly allocated temporaries (measured 70×
         on a 3.8k-doc group: 75 s → 1.0 s). float32 is exact for all
         counts here (≤ 2²⁴); groups with > 2-million-token docs get
@@ -267,12 +268,34 @@ def jaccard_pairs(
             # product bound hundthr * max_count must stay exact in the
             # accumulator dtype (float32 holds ints to 2^24)
             dt = np.float32 if sz.max() * hundthr < 2**24 else np.float64
-            B = np.zeros((g, int(inv.max()) + 1 if len(inv) else 0), dtype=dt)
-            B[rows, inv] = 1.0
-            BT = np.ascontiguousarray(B.T)
+            u = int(inv.max()) + 1 if len(inv) else 0
             szf = sz.astype(dt)
             c0 = min(chunk, g)
-            ia = np.empty((c0, g), dtype=dt)
+            # two memory shapes for the Gram: a dense g×u incidence
+            # matrix (small vocabularies — the common corpus case), or,
+            # when the group vocabulary dwarfs the group (2u > g+8192),
+            # a vocab-chunked accumulation into one g×g buffer so peak
+            # memory is min(2gu, g² + g·8192) — never both unbounded
+            dense = 2 * u <= g + 8192
+            if dense:
+                B = np.zeros((g, u), dtype=dt)
+                B[rows, inv] = 1.0
+                BT = np.ascontiguousarray(B.T)
+                ia = np.empty((c0, g), dtype=dt)
+            else:
+                ia_full = np.empty((g, g), dtype=dt)
+                ia_full.fill(0)
+                tmp = np.empty((g, g), dtype=dt)
+                vchunk = 8192
+                Bc = np.zeros((g, min(vchunk, u)), dtype=dt)
+                for lo in range(0, u, vchunk):
+                    hi = min(lo + vchunk, u)
+                    w = hi - lo
+                    m = (inv >= lo) & (inv < hi)
+                    Bc[:, :w].fill(0)
+                    Bc[rows[m], inv[m] - lo] = 1.0
+                    np.dot(Bc[:, :w], Bc[:, :w].T, out=tmp)
+                    ia_full += tmp
             lim = np.empty((c0, g), dtype=dt)
             keep = np.empty((c0, g), dtype=bool)
             tri = np.empty((c0, g), dtype=bool)
@@ -280,11 +303,15 @@ def jaccard_pairs(
             for r0 in range(0, g, c0):
                 r1 = min(r0 + c0, g)
                 c = r1 - r0
-                np.dot(B[r0:r1], BT, out=ia[:c])
+                if dense:
+                    np.dot(B[r0:r1], BT, out=ia[:c])
+                    src = ia[:c]
+                else:
+                    src = ia_full[r0:r1]
                 # ia*(100+t) >= t*(sa+sb)  ⇔  ia*100 >= t*(sa+sb-ia)
                 np.add(szf[r0:r1, None], szf[None, :], out=lim[:c])
                 np.multiply(lim[:c], dt(thr), out=lim[:c])
-                np.greater_equal(ia[:c] * dt(hundthr), lim[:c], out=keep[:c])
+                np.greater_equal(src * dt(hundthr), lim[:c], out=keep[:c])
                 np.greater(
                     colid[None, :],
                     np.arange(r0, r1, dtype=np.int64)[:, None],
@@ -294,7 +321,7 @@ def jaccard_pairs(
                 rr, cc = np.nonzero(keep[:c])
                 if len(rr) == 0:
                     continue
-                inter = ia[:c][rr, cc].astype(np.int64)
+                inter = src[rr, cc].astype(np.int64)
                 union = sz[rr + r0] + sz[cc] - inter
                 out_a.append(ids[rr + r0])
                 out_b.append(ids[cc])

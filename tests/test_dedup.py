@@ -80,3 +80,46 @@ def test_jaccard_pairs_planted(docs_ds):
     assert (1, 4) in found
     assert (1, 2) in found
     assert (1, 3) not in found
+
+
+def test_jaccard_pairs_large_vocab_fallback_vs_bruteforce(ray_session):
+    """Groups whose vocabulary dwarfs the group size take block_verify's
+    vocab-chunked g×g path (2u > g+8192); output must equal brute force."""
+    import ray.data
+
+    from ntto_ray.stages.dedup import jaccard_pairs
+
+    rng = np.random.default_rng(17)
+    vocab = np.array([f"w{i:06d}" for i in range(100000)])
+    sets, rows = [], []
+    # near-dup groups land at g≈8, u≈6000 → 2u > g+8192 → fallback path
+    base = rng.choice(100000, size=6000, replace=False)
+    for i in range(24):
+        if i % 3 == 0:
+            toks = base.copy()
+            mut = rng.choice(6000, size=rng.integers(0, 400), replace=False)
+            toks[mut] = rng.integers(0, 100000, size=len(mut))
+        else:
+            toks = rng.choice(100000, size=5000, replace=False)
+        toks = np.unique(toks)
+        sets.append(set(toks.tolist()))
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(vocab[toks]),
+                "source": "s0",
+                "n_chars": 0,
+            }
+        )
+    ds = ray.data.from_items(rows)
+    got = jaccard_pairs(ds, threshold_pct=80).to_pandas()
+    got_pairs = {tuple(sorted(p)) for p in zip(got["doc_a"], got["doc_b"])}
+    want = set()
+    for a in range(24):
+        for b in range(a + 1, 24):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 100 >= 80 * union:
+                want.add((a, b))
+    assert want, "test corpus must contain qualifying near-dup pairs"
+    assert got_pairs == want

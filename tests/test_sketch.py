@@ -1,0 +1,109 @@
+"""Property tests for the sketch kernels (stages/sketch.py): Misra-Gries
+error bound + superset guarantee, KMV accuracy + exact-below-k, Bloom
+no-false-negatives, and the numpy/DuckDB splitmix64 mirror."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ntto_ray.stages import sketch as sk
+
+
+def _chunked_mg(values: np.ndarray, k: int, n_blocks: int):
+    parts = [
+        sk.mg_partial(pa.table({"v": pa.array(c, pa.int64())}), "v", k)
+        for c in np.array_split(values, n_blocks)
+    ]
+    return sk.mg_merge(pa.concat_tables(parts), k)
+
+
+def test_mg_superset_and_error_bound():
+    rng = np.random.default_rng(7)
+    # zipf-ish skew: a few hot keys over a long uniform tail
+    vals = np.concatenate(
+        [
+            np.repeat([1, 2, 3], [4000, 2500, 1200]),
+            rng.integers(100, 5000, size=12000),
+        ]
+    )
+    rng.shuffle(vals)
+    k = 64
+    keys, counts, n = _chunked_mg(vals, k, n_blocks=9)
+    assert n == len(vals)
+    exact_keys, exact_counts = np.unique(vals, return_counts=True)
+    exact = dict(zip(exact_keys.tolist(), exact_counts.tolist()))
+    bound = n / (k + 1)
+    # superset guarantee: every key with true count > N/(k+1) survives
+    guaranteed = {kk for kk, c in exact.items() if c > bound}
+    assert guaranteed <= set(keys.tolist())
+    # lower-bound property with bounded undercount
+    for kk, c in zip(keys.tolist(), counts.tolist()):
+        assert c <= exact[kk]
+        assert exact[kk] - c <= bound
+
+
+def test_mg_exact_when_capacity_suffices():
+    vals = np.repeat(np.arange(10), np.arange(1, 11))
+    keys, counts, n = _chunked_mg(vals, k=32, n_blocks=4)
+    exact = dict(zip(*np.unique(vals, return_counts=True)))
+    assert n == len(vals)
+    assert {int(a): int(b) for a, b in zip(keys, counts)} == {
+        int(a): int(b) for a, b in exact.items()
+    }
+
+
+def test_kmv_exact_below_k_and_estimate_above():
+    rng = np.random.default_rng(11)
+    small = rng.choice(40, size=500).astype(np.int64)
+    parts = [
+        sk.kmv_partial(pa.table({"v": pa.array(c, pa.int64())}), "v", 64)
+        for c in np.array_split(small, 5)
+    ]
+    est, k_used = sk.kmv_estimate(pa.concat_tables(parts), 64)
+    assert est == len(np.unique(small))
+    assert k_used == len(np.unique(small))
+
+    big = rng.permutation(200_000)[:5000].astype(np.int64)
+    parts = [
+        sk.kmv_partial(pa.table({"v": pa.array(c, pa.int64())}), "v", 64)
+        for c in np.array_split(big, 13)
+    ]
+    est, k_used = sk.kmv_estimate(pa.concat_tables(parts), 64)
+    assert k_used == 64
+    true = len(np.unique(big))
+    # std error ~ 1/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+    assert abs(est - true) / true < 0.51
+
+
+def test_bloom_no_false_negatives_and_verify_exact():
+    rng = np.random.default_rng(3)
+    build = rng.permutation(100_000)[:2000].astype(np.int64)
+    m = 1 << 16
+    bloom = sk.bloom_build(build, m)
+    probe = np.concatenate([build, rng.integers(200_000, 300_000, 5000)])
+    hit = np.ones(len(probe), dtype=bool)
+    pp = probe.view(np.uint64)
+    for seed in sk._BLOOM_SEEDS:
+        hit &= bloom[(sk.splitmix64(pp ^ np.uint64(seed)) % np.uint64(m)).astype(np.int64)]
+    # every build key passes the prefilter
+    assert hit[: len(build)].all()
+    # prefilter actually prunes most non-members
+    assert hit[len(build) :].mean() < 0.25
+
+
+def test_splitmix64_sql_mirror():
+    duckdb = pytest.importorskip("duckdb")
+    rng = np.random.default_rng(5)
+    xs = np.concatenate(
+        [[0, 1, 2**62], rng.integers(0, 2**62, size=200)]
+    ).astype(np.int64)
+    want = sk.splitmix64(xs.view(np.uint64))
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": pa.array(xs, pa.int64())}))
+    got = (
+        con.execute(f"SELECT {sk.splitmix64_sql('x')} AS h FROM t")
+        .df()["h"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    assert (got == want).all()
