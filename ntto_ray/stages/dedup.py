@@ -109,6 +109,7 @@ def _token_hashes(flat: np.ndarray) -> np.ndarray:
 from ntto_ray.stages.exchange import conform as _conform  # noqa: E402
 from ntto_ray.stages.exchange import hash_grouped as _hash_grouped  # noqa: E402
 from ntto_ray.stages.exchange import runs as _runs  # noqa: E402
+from ntto_ray.stages.exchange import NO_FUSE_ARGS as _NO_FUSE  # noqa: E402
 
 
 def _dedupe_pairs(pairs: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
@@ -328,11 +329,19 @@ def jaccard_pairs(
                 out_j.append(inter * 100 // union)
         if not out_a:
             return _PAIR_SCHEMA.empty_table()
+        a = np.concatenate(out_a).astype(np.int64)
+        b = np.concatenate(out_b).astype(np.int64)
+        j = np.concatenate(out_j).astype(np.int64)
+        # in-block pre-dedupe: a pair sharing several prefix tokens of
+        # THIS block would otherwise ship ~3x duplicate rows into the
+        # pair-key exchange (every copy carries the same score)
+        _, first = np.unique((a << np.int64(31)) | b, return_index=True)
+        a, b, j = a[first], b[first], j[first]
         return pa.Table.from_arrays(
             [
-                pa.array(np.concatenate(out_a).astype(np.int64)),
-                pa.array(np.concatenate(out_b).astype(np.int64)),
-                pa.array(np.concatenate(out_j).astype(np.int64)),
+                pa.array(a),
+                pa.array(b),
+                pa.array(j),
             ],
             schema=_PAIR_SCHEMA,
         )
@@ -341,7 +350,7 @@ def jaccard_pairs(
         docs.map_batches(emit_prefix, batch_format="pyarrow"), ["tok"]
     )
     pairs = grouped.map_batches(
-        block_verify, batch_size=None, batch_format="pyarrow"
+        block_verify, batch_size=None, batch_format="pyarrow", **_NO_FUSE
     )
     # a qualifying pair may share several prefix tokens — collapse dups
     return _dedupe_pairs(pairs, _PAIR_SCHEMA)
@@ -569,7 +578,7 @@ def minhash_lsh_pairs(
 
     grouped = _hash_grouped(banded, ["bkey"])
     pairs = grouped.map_batches(
-        bucket_verify, batch_size=None, batch_format="pyarrow"
+        bucket_verify, batch_size=None, batch_format="pyarrow", **_NO_FUSE
     )
     return _dedupe_pairs(pairs, _LSH_PAIR_SCHEMA)
 
@@ -724,5 +733,7 @@ def simhash_pairs(
 
     banded = fps.map_batches(emit_bands, batch_format="pyarrow")
     grouped = _hash_grouped(banded, ["bkey"])
-    pairs = grouped.map_batches(bucket_verify, batch_size=None, batch_format="pyarrow")
+    pairs = grouped.map_batches(
+        bucket_verify, batch_size=None, batch_format="pyarrow", **_NO_FUSE
+    )
     return _dedupe_pairs(pairs, _SIMHASH_PAIR_SCHEMA)
