@@ -1,0 +1,61 @@
+"""Source-format round-trips beyond Parquet/NT/NDJSON: CSV. The
+reference reads only NT text lines (ntto.go:162-197); a user replacing
+it with this engine also needs the tabular source formats Ray Data
+ships. The round-trip (Parquet → write_csv → read_csv → aggregate,
+oracled against the original Parquet) pins both directions of the CSV
+codec, not just the reader."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import pyarrow as pa
+
+from ntto_ray.queries_rel import _read
+from ntto_ray.registry import register
+
+
+@register(
+    "csv_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(user_id) AS BIGINT) AS user_sum,
+       CAST(min(event_id) AS BIGINT) AS min_event
+FROM events
+GROUP BY event_type
+""",
+)
+def csv_roundtrip(sf_dir: str):
+    """events → CSV files under /tmp (one file per block — the
+    resumable-output layout) → ``ray.data.read_csv`` → grouped
+    aggregate. Integer/string columns only: CSV is schema-poor, so the
+    round-trip contract covers exactly the types it can carry
+    losslessly."""
+    import ray.data
+
+    out = os.path.join(
+        "/tmp",
+        "ntto_ray_csv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    ev.write_csv(out)
+
+    back = ray.data.read_csv(out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("event_id", "count"), ("user_id", "sum"), ("event_id", "min")]
+        )
+        return g.rename_columns(["event_type", "cnt", "user_sum", "min_event"])
+
+    partials = back.map_batches(partial, batch_format="pyarrow")
+    merged = (
+        partials.to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(cnt=("cnt", "sum"), user_sum=("user_sum", "sum"), min_event=("min_event", "min"))
+    )
+    return merged

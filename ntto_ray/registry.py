@@ -54,6 +54,7 @@ def _load():
         queries_rel_ext,
         queries_rel_win,
         queries_sketch,
+        queries_sources,
         queries_text,
         queries_text_ext,
     )
