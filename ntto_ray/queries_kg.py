@@ -3,6 +3,8 @@ from the same spec constants the Ray stages use (functions/kgspec.py)."""
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 from ntto_ray.functions import kgspec as K
 from ntto_ray.registry import register
 
@@ -99,3 +101,94 @@ FROM canon
 
 
 _late_oracles()
+
+
+@register("kg_object_copairs", oracle=None)  # oracle filled by _late_oracles2
+def kg_object_copairs(sf_dir: str):
+    """Object co-occurrence edges: for every subject in the canonical
+    graph, all unordered pairs of distinct objects it links to, counted
+    across subjects — the co-mention edge weighting a KG layer builds on
+    top of raw triples (reference has no counterpart; this is engine
+    surface). Plan: canonical triples → group-safe hash exchange on
+    ``subj`` (stages/exchange.hash_grouped — every subject whole in one
+    sorted block) → per-block fully vectorized pair expansion (distinct
+    (subj,obj) via packed np.unique, run-length triangular index
+    generation — no Python loop over subjects) → per-block pair partial
+    counts → one grouped Sum over pair keys. Pair volume is quadratic in
+    per-subject out-degree, which the extractor bounds per turn; a
+    degree cap would be the knob at adversarial skew."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    canonical = run_kg_pipeline(sf_dir).select_columns(["subj", "obj"])
+    grouped = hash_grouped(canonical, ["subj"])
+
+    _EMPTY = pa.table(
+        {
+            "obj_a": pa.array([], pa.string()),
+            "obj_b": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        s_enc = t.column("subj").combine_chunks().dictionary_encode()
+        o_enc = t.column("obj").combine_chunks().dictionary_encode()
+        s_codes = np.asarray(s_enc.indices, dtype=np.int64)
+        o_codes = np.asarray(o_enc.indices, dtype=np.int64)
+        o_vals = np.array(o_enc.dictionary.to_pylist())  # unicode dtype → C sort
+        K = len(o_vals)
+        order = np.argsort(o_vals)  # numpy str order == UTF-8 == DuckDB binary
+        rank = np.empty(K, dtype=np.int64)
+        rank[order] = np.arange(K, dtype=np.int64)
+        sorted_vals = o_vals[order]
+
+        # distinct (subj, obj), grouped by subject, objects in lex order
+        u = np.unique(s_codes * K + rank[o_codes])
+        su, ru = u // K, u % K
+        starts, ends = runs(su)
+        idx = np.arange(len(u), dtype=np.int64)
+        cnt_el = np.repeat(ends, ends - starts) - idx - 1  # pairs anchored at idx
+        total = int(cnt_el.sum())
+        if total == 0:
+            return _EMPTY
+        off = np.concatenate(([0], np.cumsum(cnt_el)[:-1]))
+        a_idx = np.repeat(idx, cnt_el)
+        b_idx = a_idx + 1 + (np.arange(total, dtype=np.int64) - np.repeat(off, cnt_el))
+        up, c = np.unique(ru[a_idx] * K + ru[b_idx], return_counts=True)
+        return pa.table(
+            {
+                "obj_a": pa.array(sorted_vals[up // K].tolist(), pa.string()),
+                "obj_b": pa.array(sorted_vals[up % K].tolist(), pa.string()),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    partials = grouped.map_batches(
+        pairs, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+    return partials.groupby(["obj_a", "obj_b"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+
+
+def _late_oracles2():
+    from ntto_ray.registry import _ORACLES
+
+    canon = K.triples_canonical_sql(_rules())
+    _ORACLES["kg_object_copairs"] = f"""
+WITH canon AS ({canon}),
+so AS (SELECT DISTINCT subj, obj FROM canon)
+SELECT a.obj AS obj_a, b.obj AS obj_b, CAST(count(*) AS BIGINT) AS cnt
+FROM so a JOIN so b ON a.subj = b.subj AND a.obj < b.obj
+GROUP BY 1, 2
+""".strip()
+
+
+_late_oracles2()

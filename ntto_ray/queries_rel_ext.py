@@ -397,3 +397,78 @@ def rel_range_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# --- full outer join (native Dataset.join full_outer) ----------------------
+
+@register(
+    "rel_outer_join",
+    oracle="""
+SELECT COALESCE(c.c_custkey, u.o_custkey) AS custkey,
+       COALESCE(c.c_mktsegment, '') AS segment,
+       COALESCE(u.urgent_cnt, 0) AS urgent_cnt
+FROM (SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_mktsegment = 'BUILDING') c
+FULL OUTER JOIN (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS urgent_cnt
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey) u
+  ON u.o_custkey = c.c_custkey
+""",
+)
+def rel_outer_join(sf_dir: str):
+    """BUILDING customers FULL OUTER JOIN urgent-order counts — Ray's
+    native distributed ``Dataset.join(full_outer)`` (hash-shuffle both
+    sides). Both inputs are filtered/pre-aggregated before the shuffle
+    (the right side inside one map_batches partial + small grouped
+    aggregate), so unmatched rows exist on BOTH sides and the exchange
+    moves key-scale rows only. Nulls from the outer extension are
+    coalesced to sentinel values in a final stateless map_batches."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.stages.exchange import shuffle_parallelism
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def urgent_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["o_custkey", "urgent_cnt"])
+
+    urgent = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(urgent_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("urgent_cnt", alias_name="urgent_cnt"))
+        .materialize()
+    )
+
+    joined = cust.join(
+        urgent,
+        "full_outer",
+        num_partitions=shuffle_parallelism(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's full_outer join already coalesces left/right keys into
+        # the LEFT key column and drops the right one.
+        return pa.table(
+            {
+                "custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "segment": pc.coalesce(t["c_mktsegment"], pa.scalar("")),
+                "urgent_cnt": pc.coalesce(
+                    pc.cast(t["urgent_cnt"], pa.int64()), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -59,3 +59,53 @@ def csv_roundtrip(sf_dir: str):
         .agg(cnt=("cnt", "sum"), user_sum=("user_sum", "sum"), min_event=("min_event", "min"))
     )
     return merged
+
+
+@register(
+    "json_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+       CAST(min(o_orderkey) AS BIGINT) AS min_order
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def json_roundtrip(sf_dir: str):
+    """orders → NDJSON files under /tmp via ``Dataset.write_json`` (one
+    file per block) → ``ray.data.read_json`` → grouped aggregate,
+    oracled against the original Parquet. Pins the engine's JSON tabular
+    codec both ways — the KG NDJSON sink (``kg_ndjson_lines``) pins the
+    ntto byte format; this pins the generic one."""
+    import ray.data
+
+    out = os.path.join(
+        "/tmp",
+        "ntto_ray_json_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+    orders.write_json(out)
+
+    back = ray.data.read_json(out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("o_orderkey", "count"), ("o_custkey", "sum"), ("o_orderkey", "min")]
+        )
+        return g.rename_columns(
+            ["o_orderpriority", "cnt", "cust_sum", "min_order"]
+        )
+
+    partials = back.map_batches(partial, batch_format="pyarrow")
+    merged = (
+        partials.to_pandas()
+        .groupby("o_orderpriority", as_index=False)
+        .agg(
+            cnt=("cnt", "sum"),
+            cust_sum=("cust_sum", "sum"),
+            min_order=("min_order", "min"),
+        )
+    )
+    return merged

@@ -520,3 +520,70 @@ def _late_oracles():
 
 
 _late_oracles()
+
+
+# --- embedding vector aggregate (per-label centroids) ---------------------
+
+@register(
+    "ann_label_centroids",
+    oracle="""
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS v_fp
+  FROM embeddings
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(v_fp) AS BIGINT) AS sum_fp,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM e GROUP BY label, dim
+""",
+)
+def ann_label_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column — the distributed
+    VECTOR aggregate behind IVF training / class prototypes. Map-side
+    partial: each block's (n, dim) float32 matrix is fixed-pointed
+    (floor(v*1e6) — float32→double is exact, so both engines floor the
+    identical double) and segment-summed per label with one np.add.at;
+    the exchange then moves only labels × dim partial rows, never
+    vectors. Sum+count are returned instead of the mean so every value
+    stays an order-independent integer (queries_rel.py exactness
+    discipline)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int32()),
+                    "dim": pa.array([], pa.int64()),
+                    "sum_fp": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        lab = t["label"].to_numpy()
+        arr = t.column("embedding").combine_chunks()
+        flat = np.asarray(arr.flatten(), dtype=np.float64)
+        n = t.num_rows
+        dim = flat.size // n
+        v_fp = np.floor(flat * 1_000_000.0).astype(np.int64).reshape(n, dim)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), dim), dtype=np.int64)
+        np.add.at(sums, inv, v_fp)
+        cnts = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, dim), pa.int32()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(ulab))),
+                "sum_fp": pa.array(sums.reshape(-1)),
+                "cnt": pa.array(np.repeat(cnts, dim)),
+            }
+        )
+
+    return (
+        _emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_fp", alias_name="sum_fp"), Sum("cnt", alias_name="cnt"))
+    )

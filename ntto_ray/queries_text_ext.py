@@ -410,3 +410,47 @@ def text_repetition(sf_dir: str):
         )
 
     return docs.map_batches(repetition, batch_format="pyarrow")
+
+
+# --- text normalization ----------------------------------------------------
+
+@register(
+    "text_normalize",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')))
+         AS norm_md5,
+       CAST(length(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')))
+         AS BIGINT) AS norm_len
+FROM documents
+""",
+)
+def text_normalize(sf_dir: str):
+    """Standard training-corpus text normalization — lowercase, collapse
+    whitespace runs to one space, trim — as one stateless vectorized
+    map_batches (Arrow utf8_lower + one RE2 replace; both engines run
+    the identical explicit class ``[ \\t\\n\\r\\f]+``, sidestepping the
+    unicode-\\s divergence between Python re and RE2). The md5 content
+    key is what a downstream exact-dedup would shuffle on."""
+    import hashlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t["text"]), "[ \t\n\r\f]+", " "
+            ),
+            " ",
+        )
+        md5s = pa.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in norm.to_pylist()],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_md5": md5s,
+                "norm_len": pc.cast(pc.utf8_length(norm), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
