@@ -1,8 +1,8 @@
 """Dedup / text-analysis / similarity-search queries over documents and
-embeddings, plus the NT parse/render round-trip. Oracles where the
-semantics are deterministic + SQL-expressible; probabilistic ops
-(MinHash-LSH, SimHash, hyperplane LSH) are rows-only here and pinned by
-unit tests instead."""
+embeddings, plus the NT parse/render round-trip. Every query carries an
+exact DuckDB oracle — including the "probabilistic" ops (MinHash-LSH,
+SimHash, hyperplane LSH), whose hash chains are deterministic functions
+of the input and are mirrored bit-exactly in SQL."""
 
 from __future__ import annotations
 
@@ -80,7 +80,134 @@ def dedup_jaccard_pairs(sf_dir: str):
     return jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold_pct=90)
 
 
-@register("dedup_minhash_lsh", oracle=None)  # probabilistic — tests pin recall
+def _minhash_lsh_oracle(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5, k: int = 3
+) -> str:
+    """Bit-exact DuckDB mirror of stages/dedup.minhash_lsh_pairs —
+    MinHash-LSH is probabilistic in recall, but every step is a
+    deterministic function of the text, so the whole chain is
+    SQL-checkable: md5[:8]-LE token hashes → k-token rolling shingles
+    (mul-xor fold, splitmix64 finalizer) → wrapping-affine minhash
+    signatures (the permutation table is embedded as literals from the
+    same seed) → per-band splitmix64 bucket keys → bucket self-join
+    candidates → matching-minhash-fraction verify. All mod-2^64
+    arithmetic routes through UHUGEINT, exactly like splitmix64_sql
+    (stages/sketch.py)."""
+    from ntto_ray.stages.dedup import _SHINGLE_PRIME, MinHasher
+
+    mh = MinHasher(num_perm=num_perm, shingle_k=k)
+    # "& mask" ≡ mod 2^64, far cheaper than UHUGEINT % (128-bit division)
+    M = f"CAST({(1 << 64) - 1} AS UHUGEINT)"
+    P = int(_SHINGLE_PRIME)
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    rows = num_perm // bands
+    thresh = int(np.ceil(threshold * num_perm - 1e-12))
+
+    def mul(e: str, c) -> str:
+        return f"CAST((CAST(({e}) AS UHUGEINT) * {c}) & {M} AS UBIGINT)"
+
+    def step(x: str, y: str) -> str:  # (x * P) ^ y   (mod 2^64)
+        return f"xor({mul(x, P)}, {y})"
+
+    def mix64(e: str) -> str:  # dedup._mix64 finalizer; e must be a short ref
+        t0 = f"xor({e}, ({e}) >> 30)"
+        t1 = mul(t0, C1)
+        t2 = f"xor({t1}, ({t1}) >> 27)"
+        t3 = mul(t2, C2)
+        return f"xor(({t3}), ({t3}) >> 31)"
+
+    # Band-key chain as NESTED subquery levels, one new column per level
+    # — lateral aliases re-inline their definition at every reference,
+    # which turns a 13-step chain into 2^13 evaluations; a projection
+    # pyramid evaluates each step exactly once per row.
+    levels: list[str] = []  # (expr AS name) added one per level
+
+    def lvl(expr: str, name: str) -> str:
+        levels.append(f"{expr} AS {name}")
+        return name
+
+    def mix64_lvls(tag: str, e: str) -> str:
+        u = lvl(mul(f"xor({e}, {e} >> 30)", C1), f"{tag}_u")
+        v = lvl(mul(f"xor({u}, {u} >> 27)", C2), f"{tag}_v")
+        return lvl(f"xor({v}, {v} >> 31)", tag)
+
+    acc = mix64_lvls(
+        "acc1",
+        lvl(
+            # NB: the addend must be cast — UHUGEINT + INTEGER binds DOUBLE
+            f"CAST((CAST(s1 AS UHUGEINT) + CAST(2*b + 1 AS UHUGEINT)) & {M} "
+            "AS UBIGINT)",
+            "x0",
+        ),
+    )
+    for j in range(1, rows):
+        acc = mix64_lvls(f"acc{j + 1}", lvl(step(acc, f"s{j + 1}"), f"x{j}"))
+    base_cols = ", ".join(
+        [f"sl[{rows}*bb.b + {j + 1}] AS s{j + 1}" for j in range(rows)]
+    )
+    bk_inner = f"SELECT doc_id, bb.b AS b, {base_cols} " \
+        f"FROM sl CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b) bb"
+    for col in levels:
+        bk_inner = f"SELECT *, {col} FROM ({bk_inner})"
+    bk_sql = f"SELECT doc_id, CAST({acc} >> 1 AS BIGINT) AS bkey FROM ({bk_inner})"
+
+    perm_vals = ",\n    ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    # md5 digest bytes [:8] little-endian from the hex string, as a flat
+    # sum (no per-row subquery — byte j = hex pair j, weight 256^j);
+    # computed once per DISTINCT token, exactly like the actor's cache.
+    hexp = "'0123456789abcdef'"
+    md5u64 = "CAST(" + " + ".join(
+        f"CAST(((strpos({hexp}, substr(mh, {2 * j + 1}, 1)) - 1) * 16"
+        f" + (strpos({hexp}, substr(mh, {2 * j + 2}, 1)) - 1)) AS HUGEINT)"
+        f" * {256 ** j}" for j in range(8)
+    ) + " AS UBIGINT)"
+    matches = (
+        f"len(list_filter(generate_series(1, {num_perm}), i -> x.sl[i] = y.sl[i]))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(generate_series(1, len(l))) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+vh AS MATERIALIZED (
+  SELECT tok, {md5u64} AS h
+  FROM (SELECT tok, md5(tok) AS mh FROM (SELECT DISTINCT tok FROM tok))
+),
+th AS (SELECT doc_id, pos, v.h FROM tok JOIN vh v USING (tok)),
+hl AS (SELECT doc_id, list(h ORDER BY pos) AS hl FROM th GROUP BY doc_id),
+raws AS (
+  SELECT doc_id, unnest(CASE WHEN len(hl) >= {k}
+    THEN [list_reduce(hl[i:i+{k - 1}], (x,y) -> {step('x', 'y')})
+          for i in generate_series(1, len(hl) - {k - 1})]
+    ELSE [list_reduce(hl, (x,y) -> {step('x', 'y')})] END) AS r
+  FROM hl
+),
+sh AS (SELECT doc_id, {mix64('r')} AS s FROM raws),
+perms(i, a, b) AS (VALUES
+    {perm_vals}),
+sig AS (
+  SELECT doc_id, p.i AS perm,
+         min(CAST((CAST(s AS UHUGEINT) * CAST(p.a AS UHUGEINT)
+                   + CAST(p.b AS UHUGEINT)) & {M} AS UBIGINT)) AS sv
+  FROM sh CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+sl AS MATERIALIZED (SELECT doc_id, list(sv ORDER BY perm) AS sl FROM sig GROUP BY doc_id),
+bk AS MATERIALIZED ({bk_sql}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT CAST(c.doc_a AS BIGINT) AS doc_a, CAST(c.doc_b AS BIGINT) AS doc_b,
+       CAST({matches} * 100 // {num_perm} AS BIGINT) AS est_jaccard_pct
+FROM cand c JOIN sl x ON x.doc_id = c.doc_a JOIN sl y ON y.doc_id = c.doc_b
+WHERE {matches} >= {thresh}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(sf_dir: str):
     from ntto_ray.stages.dedup import minhash_lsh_pairs
 

@@ -13,9 +13,10 @@ large-scale training-data pipeline needs, each expressed Ray-Data-first.
 - MinHash-LSH near-dup: shingle → minhash → banded LSH → ONE
   hash-partitioned exchange on the packed bucket key (signatures ride
   along as fixed-width blobs) → whole-block in-bucket verify → packed
-  pair-key dedupe exchange. All kernels vectorized (token hashes via one
-  siphash pass, shingles and band hashes via splitmix64 mixers over the
-  flattened token array — no per-row Python).
+  pair-key dedupe exchange. All kernels vectorized (md5 token hashes
+  once per unique token, shingles and band hashes via splitmix64 mixers
+  over the flattened token array — no per-row Python), and the whole
+  chain is deterministic + SQL-mirrorable (exact DuckDB oracle).
 - SimHash: 64-bit fingerprints; md5 token hashes are computed once per
   UNIQUE token (vocabulary-bounded, cached across batches in the actor),
   bit votes are one reduceat over the flattened contribution matrix.
@@ -368,7 +369,13 @@ class MinHasher:
     shingle hashes by k-1 shifted mixer steps over the flat token array,
     per-doc signature mins via ``np.minimum.reduceat``. Permutations use
     wrapping uint64 affine maps (mod 2^64) — a valid deterministic hash
-    family, cheaper than Mersenne-prime modular arithmetic."""
+    family, cheaper than Mersenne-prime modular arithmetic.
+
+    Token hashes are md5[:8]-little-endian per UNIQUE token (cached
+    across batches in the actor — vocabulary-bounded cost, same
+    convention as :class:`SimHasher`), so the whole chain
+    shingle→minhash→band→verify is bit-exactly mirrorable in DuckDB SQL
+    (queries_text._minhash_lsh_oracle)."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
         rng = np.random.RandomState(seed)
@@ -379,12 +386,28 @@ class MinHasher:
         self.b = rng.randint(0, 1 << 62, size=num_perm).astype(_U)
         self.k = shingle_k
         self.num_perm = num_perm
+        self._cache: dict[str, int] = {}
+
+    def _token_hashes(self, flat: np.ndarray) -> np.ndarray:
+        """md5-based 64-bit token hashes, computed once per unique token
+        (np.unique + actor-lifetime cache) — SQL-mirrorable, unlike the
+        pandas siphash used by the Jaccard prefix filter."""
+        uniq, inv = np.unique(flat, return_inverse=True)
+        cache = self._cache
+        uh = np.empty(len(uniq), dtype=_U)
+        for i, tok in enumerate(uniq):
+            h = cache.get(tok)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+                cache[tok] = h
+            uh[i] = h
+        return uh[inv]
 
     def _shingles(self, flat: np.ndarray, offsets: np.ndarray):
         """Shingle hashes + their row index, from the flat token array.
         Rows shorter than k contribute one shingle over all their
         tokens."""
-        h = _token_hashes(flat)
+        h = self._token_hashes(flat)
         k = self.k
         n = len(offsets) - 1
         counts = np.diff(offsets)
@@ -462,8 +485,15 @@ def _band_rows(batch: pa.Table, *, bands: int, rows: int) -> pa.Table:
         return pa.schema(
             [("bkey", pa.int64()), ("doc_id", pa.int64()), ("sig", pa.binary())]
         ).empty_table()
-    sig = np.stack([np.asarray(s) for s in batch["sig"].to_pylist()]).astype(_U)
-    n = sig.shape[0]
+    # Flatten the list<uint64> column via Arrow, NOT via to_pylist +
+    # np.asarray: Python-int round-tripping infers int64 for rows whose
+    # values happen to fit and uint64 otherwise, and np.stack of mixed
+    # dtypes promotes to float64 — silently (and batch-dependently)
+    # corrupting the low bits of band keys and signature blobs.
+    la = batch["sig"].combine_chunks()
+    flat = pc.list_flatten(la).to_numpy(zero_copy_only=False).astype(_U)
+    n = batch.num_rows
+    sig = flat.reshape(n, len(flat) // n)
     doc = batch["doc_id"].to_numpy()
     blobs = pa.array([row.tobytes() for row in sig], type=pa.binary())
     out_key = []
