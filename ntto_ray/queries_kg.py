@@ -192,3 +192,50 @@ GROUP BY 1, 2
 
 
 _late_oracles2()
+
+
+@register("kg_pagerank", oracle=None)  # oracle filled by _late_oracles3
+def kg_pagerank(sf_dir: str):
+    """Entity importance over the canonical graph: 10 iterations of
+    integer-arithmetic PageRank (stages/graph.pagerank_int) on the
+    directed subj→obj multigraph. Pure int64 updates make the iterative
+    distributed algorithm bit-exactly SQL-mirrorable (each iteration is
+    one unrolled CTE in the oracle) — no float accumulation-order
+    hazard. Reference has no counterpart; engine surface on top of the
+    reference's triple model (cmd/ntto/ntto.go:36-50 data model)."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.graph import pagerank_int
+
+    return pagerank_int(
+        run_kg_pipeline(sf_dir).select_columns(["subj", "obj"]), iterations=10
+    )
+
+
+def _late_oracles3():
+    from ntto_ray.registry import _ORACLES
+
+    canon = K.triples_canonical_sql(_rules())
+    scale, d, iters = 10**9, 85, 10
+    base = (100 - d) * scale // 100
+    cte = [
+        f"canon AS ({canon})",
+        "edges AS (SELECT subj AS src, obj AS dst FROM canon)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "odeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes)",
+    ]
+    for r in range(1, iters + 1):
+        cte.append(f"""pr{r} AS (
+  SELECT n.node, CAST({base} + {d} * COALESCE(s.c, 0) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr // o.od) AS c
+    FROM edges e JOIN pr{r - 1} p ON p.node = e.src
+                 JOIN odeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)""")
+    _ORACLES["kg_pagerank"] = (
+        "WITH " + ",\n".join(cte) + f"\nSELECT node, pr FROM pr{iters}"
+    )
+
+
+_late_oracles3()
