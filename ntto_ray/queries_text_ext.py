@@ -454,3 +454,145 @@ def text_normalize(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+# --- composed corpus-cleaning flagship -------------------------------------
+
+_CLEAN_MIN_QUALITY = 50
+_CLEAN_MIN_TOKENS = 10
+
+_CLEAN_SQL = f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, n_tokens,
+         (100 * (n_tokens - n_stop)) // greatest(n_tokens, 1) AS quality_pct
+  FROM g
+  WHERE n_stop > 0
+    AND (100 * (n_tokens - n_stop)) // greatest(n_tokens, 1) >= {_CLEAN_MIN_QUALITY}
+    AND n_tokens >= {_CLEAN_MIN_TOKENS}
+),
+d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM f),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks)) * 100
+        >= 90 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+),
+dropped AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) != a)
+SELECT f.doc_id, CAST(f.n_tokens AS BIGINT) AS n_tokens,
+       CAST(f.quality_pct AS BIGINT) AS quality_pct
+FROM f WHERE f.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@register("corpus_clean_pipeline", oracle=_CLEAN_SQL)
+def corpus_clean_pipeline(sf_dir: str):
+    """End-to-end LLM training-data prep composed from the suite's
+    operators: language/quality gate (contains a marker stopword,
+    integer quality >= 50, >= 10 tokens — one vectorized Arrow pass) →
+    exact near-dup removal over the SURVIVING corpus only
+    (prefix-filtered Jaccard join at 90 + min-label connected
+    components, keep the min-id doc per component) → per-doc stats of
+    the retained corpus.
+
+    Scale notes: the gate runs twice (once feeding the pair join, once
+    feeding the final projection) instead of materializing the filtered
+    corpus — a stateless re-scan streams, a corpus-scale
+    ``materialize()`` would not. The dropped-id set is result-scale
+    (bounded by the dup rate) and broadcasts via ``ray.put``."""
+    import ray
+
+    from ntto_ray.stages.dedup import jaccard_pairs
+    from ntto_ray.stages.graph import connected_components
+    from ntto_ray.stages.text import STOPWORDS
+
+    _GATE_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("quality_pct", pa.int64()),
+        ]
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        n_tokens = (
+            pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(parent, weights=is_stop, minlength=t.num_rows).astype(
+            np.int64
+        )
+        quality = (100 * (n_tokens - n_stop)) // np.maximum(n_tokens, 1)
+        keep = (
+            (n_stop > 0)
+            & (quality >= _CLEAN_MIN_QUALITY)
+            & (n_tokens >= _CLEAN_MIN_TOKENS)
+        )
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].combine_chunks().take(idx),
+                t["text"].combine_chunks().take(idx),
+                pa.array(n_tokens[keep]),
+                pa.array(quality[keep]),
+            ],
+            schema=_GATE_SCHEMA,
+        )
+
+    filtered = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+    pairs = jaccard_pairs(
+        filtered.select_columns(["doc_id", "text"]), threshold_pct=90
+    )
+    lab = connected_components(pairs).to_pandas()
+    dropped = lab.loc[lab["component"] != lab["doc_id"], "doc_id"].to_numpy(
+        dtype=np.int64
+    )
+    ref = ray.put(np.sort(dropped))
+
+    class KeepCanonical:
+        def __init__(self, ref):
+            self.dropped = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            keep = ~np.isin(ids, self.dropped)
+            idx = pa.array(np.flatnonzero(keep))
+            return pa.Table.from_arrays(
+                [
+                    t["doc_id"].combine_chunks().take(idx),
+                    t["n_tokens"].combine_chunks().take(idx),
+                    t["quality_pct"].combine_chunks().take(idx),
+                ],
+                names=["doc_id", "n_tokens", "quality_pct"],
+            )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(gate, batch_format="pyarrow")
+        .map_batches(
+            KeepCanonical,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"ref": ref},
+        )
+    )
