@@ -596,3 +596,107 @@ def corpus_clean_pipeline(sf_dir: str):
             fn_constructor_kwargs={"ref": ref},
         )
     )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+_DECON_MOD = 97  # docs with doc_id % 97 == 0 play the held-out benchmark set
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tri
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+),
+bench AS (SELECT DISTINCT tri FROM tri WHERE doc_id % {_DECON_MOD} = 0)
+SELECT t.doc_id, CAST(count(DISTINCT t.tri) AS BIGINT) AS n_hits
+FROM tri t JOIN bench b ON t.tri = b.tri
+WHERE t.doc_id % {_DECON_MOD} <> 0
+GROUP BY t.doc_id
+""",
+)
+def text_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag every training document sharing a
+    3-token shingle with the held-out benchmark slice (here: docs with
+    ``doc_id % 97 == 0`` stand in for the eval set), reporting the count
+    of DISTINCT overlapping shingles per contaminated doc.
+
+    Scale shape: eval benchmarks are tiny relative to a 100 TB corpus,
+    so the benchmark shingle set is collected once (distributed distinct
+    → driver, bounded by benchmark size) and broadcast via ``ray.put``;
+    the corpus side is ONE streaming pass — per batch, trigrams are
+    built with two Arrow join kernels over the shifted flat token array
+    and membership is a single C++ hash probe (``pc.index_in``), no
+    shuffle at all. Per-doc distinct-hit counting is a packed
+    ``np.unique`` over (doc, benchmark-slot) codes."""
+    import ray
+
+    from ntto_ray.stages.dedup import _tokenize
+
+    def trigrams(t: pa.Table):
+        """(doc_idx ndarray, trigram StringArray) for all 3-token windows."""
+        flat, offsets = _tokenize(t["text"].combine_chunks())
+        if len(flat) < 3:
+            return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+        parent = np.repeat(
+            np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+        )
+        mask = parent[:-2] == parent[2:]
+        tri = pc.binary_join_element_wise(
+            pa.array(flat[:-2][mask], type=pa.string()),
+            pa.array(flat[1:-1][mask], type=pa.string()),
+            pa.array(flat[2:][mask], type=pa.string()),
+            " ",
+        )
+        return parent[:-2][mask], tri
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        keep = pa.array(ids % _DECON_MOD == 0)
+        sub = t.filter(keep)
+        if sub.num_rows == 0:
+            return pa.table({"tri": pa.array([], type=pa.string())})
+        _, tri = trigrams(sub)
+        return pa.table({"tri": pc.unique(tri)})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = pa.array(
+        sorted(docs.map_batches(bench_partial, batch_format="pyarrow").unique("tri")),
+        type=pa.string(),
+    )
+    bench_ref = ray.put(bench)
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
+
+    class Decontaminate:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            didx, tri = trigrams(t)
+            if len(didx) == 0:
+                return _OUT.empty_table()
+            slot = pc.index_in(tri, value_set=self.bench)
+            hit = pc.is_valid(slot).to_numpy(zero_copy_only=False)
+            # benchmark docs are the eval set, not training data — skip
+            hit &= ids[didx] % _DECON_MOD != 0
+            if not hit.any():
+                return _OUT.empty_table()
+            slot_np = slot.to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+            packed = didx[hit] * len(self.bench) + slot_np
+            u = np.unique(packed)
+            du, c = np.unique(u // len(self.bench), return_counts=True)
+            return pa.table(
+                {"doc_id": ids[du], "n_hits": c.astype(np.int64)}
+            )
+
+    return docs.map_batches(
+        Decontaminate,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": bench_ref},
+    )

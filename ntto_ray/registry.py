@@ -48,6 +48,7 @@ def _load():
     if _LOADED:
         return
     from ntto_ray import (  # noqa: F401
+        queries_graph_ext,
         queries_kg,
         queries_media,
         queries_rel,
