@@ -126,6 +126,8 @@ def run_bench() -> dict:
         "text_tfidf_top_terms",
         "rel_asof_join",
         "ann_bruteforce_topk",
+        "kg_triangles",
+        "text_decontaminate",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)

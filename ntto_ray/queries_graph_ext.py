@@ -33,89 +33,64 @@ def triangle_count(
     (string-node) edge dataset; self-loops dropped, parallel edges
     collapsed.
 
-    Plan (every data-scale step distributed, node-scale vectors on the
-    driver — the same bounded budget as stages/graph.pagerank_int):
-      1. node vector: one distributed unique pass, sorted, ``ray.put``;
-      2. edge keys: map to int ids, normalize lo<hi, pack lo*n+hi into
-         one int64, per-block unique → hash exchange on the key →
-         per-block unique = globally distinct undirected edges;
-      3. degrees: vectorized partial counts over both endpoints, one
-         grouped Sum, driver fold → rank = lexsort(deg, node);
-      4. wedges: orient each edge low-rank→high-rank, hash exchange on
-         ``src``, per-run triangular pair expansion of the rank-sorted
-         out-neighborhood (|N+(u)| ≤ O(sqrt(m)) by the orientation),
-         per-block packed-unique partial counts;
-      5. close: union wedge partials with the oriented edge set, hash
-         exchange on the packed pair key, per-block "edge present →
-         add wedge count" fold → one tiny partial per block, summed.
+    Plan — exactly TWO all-to-all exchanges on the data-scale path
+    (node-scale vectors live on the driver, the same bounded budget as
+    stages/graph.pagerank_int):
+      1. one distributed pass emits per-block (node, count) partials;
+         a node-scale grouped Sum gives the sorted node vector AND
+         multigraph degrees → rank = lexsort(deg, id), ``ray.put``.
+         (Degree rank is a heuristic total order — ANY total order is
+         correct; degree order gives the O(m^1.5) wedge bound.)
+      2. edges map to int ids, orient low-rank→high-rank, drop
+         self-loops → hash exchange on ``src``. Because every copy of
+         an edge shares its src, a per-block ``np.unique`` IS the
+         global parallel-edge collapse — no separate distinct exchange.
+         The same kernel then expands each rank-sorted out-neighborhood
+         into wedge partials (triangular-index trick, no Python pair
+         loop) and emits the distinct oriented edges alongside.
+      3. hash exchange on the packed pair key co-locates wedges with
+         their would-be closing edge; a per-block fold sums wedge
+         counts of runs that contain an edge row → one tiny partial per
+         block, summed on the driver.
     """
     from ray.data.aggregate import Sum
 
-    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+    from ntto_ray.stages.exchange import (
+        NO_FUSE_ARGS,
+        adaptive_parallelism,
+        hash_grouped,
+        runs,
+    )
 
     edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+    nparts = adaptive_parallelism(edges.count())
+    edges.context.default_hash_shuffle_parallelism = nparts
 
-    def emit_nodes(t: pa.Table) -> pa.Table:
+    _NODE = pa.schema([("node", pa.string()), ("c", pa.int64())])
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _NODE.empty_table()
         a = t[src_col].to_numpy(zero_copy_only=False)
         b = t[dst_col].to_numpy(zero_copy_only=False)
-        return pa.table({"node": np.unique(np.concatenate([a, b]))})
-
-    node_list = sorted(
-        edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
-    )
-    if not node_list:
-        return pa.table({"triangles": pa.array([0], pa.int64())})
-    nodes = np.array(node_list)  # unicode dtype → searchsorted in C
-    n = len(nodes)
-    nodes_ref = ray.put(nodes)
-
-    _KEY = pa.schema([("key", pa.int64())])
-
-    def edge_keys(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _KEY.empty_table()
-        nd = ray.get(nodes_ref)
-        a = np.searchsorted(nd, t[src_col].to_numpy(zero_copy_only=False))
-        b = np.searchsorted(nd, t[dst_col].to_numpy(zero_copy_only=False))
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        keep = lo != hi  # drop self-loops
-        return pa.table({"key": np.unique(lo[keep] * n + hi[keep])})
-
-    def block_unique(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _KEY.empty_table()
-        return pa.table({"key": np.unique(t["key"].to_numpy())})
-
-    und = (
-        hash_grouped(
-            edges.map_batches(edge_keys, batch_format="pyarrow"), ["key"], sort=False
-        )
-        .map_batches(block_unique, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
-        .materialize()
-    )
-
-    _DEG = pa.schema([("i", pa.int64()), ("c", pa.int64())])
-
-    def deg_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _DEG.empty_table()
-        k = t["key"].to_numpy()
-        u, c = np.unique(np.concatenate([k // n, k % n]), return_counts=True)
-        return pa.table({"i": u.astype(np.int64), "c": c.astype(np.int64)})
+        u, c = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table({"node": pa.array(u.tolist(), pa.string()), "c": c})
 
     degp = (
-        und.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("i")
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("node")
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
     )
-    deg = np.zeros(n, dtype=np.int64)
-    if len(degp):
-        deg[degp["i"].to_numpy()] = degp["c"].to_numpy()
-    # total order: primary degree, ties by node id — any consistent total
-    # order is correct; (deg, id) gives the O(m^1.5) wedge bound
+    if not len(degp):
+        return pa.table({"triangles": pa.array([0], pa.int64())})
+    degp = degp.sort_values("node").reset_index(drop=True)
+    nodes = degp["node"].to_numpy(dtype=np.str_)  # unicode → searchsorted in C
+    deg = degp["c"].to_numpy(dtype=np.int64)
+    n = len(nodes)
     rank = np.empty(n, dtype=np.int64)
     rank[np.lexsort((np.arange(n), deg))] = np.arange(n, dtype=np.int64)
+    nodes_ref = ray.put(nodes)
     rank_ref = ray.put(rank)
 
     _OR = pa.schema([("src", pa.int64()), ("okey", pa.int64())])
@@ -123,62 +98,64 @@ def triangle_count(
     def orient(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _OR.empty_table()
-        rk = ray.get(rank_ref)
-        k = t["key"].to_numpy()
-        lo, hi = k // n, k % n
-        fwd = rk[lo] < rk[hi]
-        src = np.where(fwd, lo, hi)
-        dst = np.where(fwd, hi, lo)
+        nd, rk = ray.get(nodes_ref), ray.get(rank_ref)
+        a = np.searchsorted(nd, t[src_col].to_numpy(zero_copy_only=False))
+        b = np.searchsorted(nd, t[dst_col].to_numpy(zero_copy_only=False))
+        keep = a != b  # drop self-loops
+        a, b = a[keep], b[keep]
+        fwd = rk[a] < rk[b]
+        src = np.where(fwd, a, b)
+        dst = np.where(fwd, b, a)
         return pa.table({"src": src, "okey": src * n + dst})
-
-    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
 
     _W = pa.schema([("key", pa.int64()), ("cnt", pa.int64()), ("edge", pa.int64())])
 
-    def wedge_partials(t: pa.Table) -> pa.Table:
-        """Per src-run: rank-sort the out-neighborhood, expand all ordered
-        pairs with the triangular-index trick (no Python loop over
-        pairs), fold to per-block packed-pair partial counts."""
+    def wedges_and_edges(t: pa.Table) -> pa.Table:
+        """Block holds EVERY copy of each of its src's edges: unique =
+        global parallel-edge collapse. Then per src-run, rank-sort the
+        out-neighborhood and expand all ordered pairs with the
+        triangular-index trick; emit packed wedge partial counts plus
+        the distinct oriented edges themselves (edge=1 rows)."""
         if t.num_rows == 0:
             return _W.empty_table()
         rk = ray.get(rank_ref)
-        src = t["src"].to_numpy()
-        dst = t["okey"].to_numpy() % n
+        okey = np.unique(t["okey"].to_numpy())  # sorted → src-major runs
+        src, dst = okey // n, okey % n
+        e_rows = pa.table(
+            {
+                "key": okey,
+                "cnt": np.zeros(len(okey), dtype=np.int64),
+                "edge": np.ones(len(okey), dtype=np.int64),
+            }
+        )
         starts, ends = runs(src)
-        sizes = ends - starts
-        # rank-sort neighbors within each run: sort by (src, rank[dst])
+        # rank-sort neighbors within each run (stable on the src grouping)
         order = np.lexsort((rk[dst], src))
         d_sorted = dst[order]
         idx = np.arange(len(d_sorted), dtype=np.int64)
-        cnt_el = np.repeat(ends, sizes) - idx - 1  # pairs anchored at idx
+        cnt_el = np.repeat(ends, ends - starts) - idx - 1  # pairs anchored at idx
         total = int(cnt_el.sum())
         if total == 0:
-            return _W.empty_table()
+            return e_rows
         off = np.concatenate(([0], np.cumsum(cnt_el)[:-1]))
         a_idx = np.repeat(idx, cnt_el)
         b_idx = a_idx + 1 + (np.arange(total, dtype=np.int64) - np.repeat(off, cnt_el))
         wkey = d_sorted[a_idx] * n + d_sorted[b_idx]
         u, c = np.unique(wkey, return_counts=True)
-        return pa.table(
+        w_rows = pa.table(
             {
                 "key": u.astype(np.int64),
                 "cnt": c.astype(np.int64),
                 "edge": np.zeros(len(u), dtype=np.int64),
             }
         )
+        return pa.concat_tables([w_rows, e_rows])
 
-    wedges = hash_grouped(oriented, ["src"]).map_batches(
-        wedge_partials, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    tagged = hash_grouped(
+        edges.map_batches(orient, batch_format="pyarrow"), ["src"], parallelism=nparts
+    ).map_batches(
+        wedges_and_edges, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
     )
-
-    def edge_rows(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _W.empty_table()
-        k = t["okey"].to_numpy()
-        z = np.zeros(len(k), dtype=np.int64)
-        return pa.table({"key": k, "cnt": z, "edge": z + 1})
-
-    tagged = wedges.union(oriented.map_batches(edge_rows, batch_format="pyarrow"))
 
     _PART = pa.schema([("t", pa.int64())])
 
@@ -199,7 +176,7 @@ def triangle_count(
         return pa.table({"t": pa.array([tri], pa.int64())})
 
     parts = (
-        hash_grouped(tagged, ["key"])
+        hash_grouped(tagged, ["key"], parallelism=nparts)
         .map_batches(close_partial, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
         .to_pandas()
     )

@@ -107,6 +107,17 @@ def hash_grouped(
     return ds.repartition(nparts, keys=keys, sort=sort)
 
 
+def adaptive_parallelism(nrows: int, *, rows_per_part: int = 250_000) -> int:
+    """Partition count for an exchange whose input size is KNOWN (e.g. a
+    materialized upstream): enough partitions that each holds ~250k rows,
+    floored at 8, capped at the session's 2×CPU target. At cluster scale
+    the cap binds (data >> CPUs), so behavior is identical to
+    :func:`shuffle_parallelism`; on small inputs this stops a 64-way
+    exchange from paying 64 partitions' fixed actor/finalize overhead to
+    move a few MB."""
+    return max(8, min(shuffle_parallelism(), (nrows + rows_per_part - 1) // rows_per_part))
+
+
 def runs(key: np.ndarray):
     """(start, end) pairs of contiguous equal-key runs in a sorted array."""
     if len(key) == 0:
