@@ -472,3 +472,144 @@ def rel_outer_join(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --- conversion funnel (ordered multi-step event sequence) -------------------
+
+@register(
+    "rel_funnel_conversions",
+    oracle="""
+SELECT v.user_id, min(p.ts) AS first_conv
+FROM events v
+JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+WHERE v.event_type = 'view'
+GROUP BY v.user_id
+""",
+)
+def rel_funnel_conversions(sf_dir: str):
+    """Funnel analysis: per user, the earliest purchase completing the
+    ordered sequence view → click → purchase with every step strictly
+    later than the previous and the whole window within 24 h of the
+    view. ONE hash exchange on user_id; the per-block kernel is fully
+    vectorized ACROSS users (pandas groupby cummax/min — C kernels, no
+    per-user Python):
+
+      lv(click)   = latest view before the click   (grouped cummax)
+      m(purchase) = max lv over clicks before it   (grouped cummax)
+      converts    ⇔ m ≥ purchase_ts − 24 h;  answer = grouped min.
+
+    The scan is exact under ties too: rows sort (user, ts, kind) with
+    kind ordered purchase < click < view, so an equal-ts view/click is
+    NOT visible to the scan — matching the oracle's strict
+    inequalities. The window inequality itself is inclusive (<=), like
+    the SQL."""
+    import pandas as pd
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    _KIND = {"purchase": 0, "click": 1, "view": 2}
+    _OUT = pa.schema([("user_id", pa.int64()), ("first_conv", pa.timestamp("us"))])
+
+    def keep_funnel(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(list(_KIND)))
+        return t.filter(m)
+
+    def funnel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        df = pd.DataFrame(
+            {
+                "u": t["user_id"].to_numpy(),
+                "ts": t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "k": pd.Series(t["event_type"].to_numpy(zero_copy_only=False)).map(_KIND).to_numpy(),
+            }
+        )
+        df = df.sort_values(["u", "ts", "k"], kind="stable").reset_index(drop=True)
+        # latest view so far (at a click row: views strictly before it)
+        u = df["u"]
+        # cummax leaves NaN at NaN inputs — grouped ffill carries the
+        # running max forward to the rows that need to read it
+        view_ts = df["ts"].where(df["k"] == 2, other=np.nan)
+        lv = view_ts.groupby(u, sort=False).cummax().groupby(u, sort=False).ffill()
+        # best lv over clicks so far (at a purchase row: clicks strictly before)
+        lv_click = lv.where(df["k"] == 1, other=np.nan)
+        m = lv_click.groupby(u, sort=False).cummax().groupby(u, sort=False).ffill()
+        is_p = df["k"] == 0
+        conv = is_p & (m >= df["ts"] - 86_400_000_000)  # 24 h in µs
+        hits = df[conv]
+        if not len(hits):
+            return _OUT.empty_table()
+        first = hits.groupby("u", sort=False)["ts"].min()
+        return pa.table(
+            {
+                "user_id": first.index.to_numpy(dtype=np.int64),
+                "first_conv": first.to_numpy(dtype=np.int64).view("datetime64[us]"),
+            }
+        ).cast(_OUT)
+
+    grouped = hash_grouped(
+        ds.map_batches(keep_funnel, batch_format="pyarrow"), ["user_id"], sort=False
+    )
+    return grouped.map_batches(
+        funnel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+# --- correlated subquery (orders above their customer's average) ------------
+
+@register(
+    "rel_above_avg_orders",
+    oracle="""
+WITH ca AS (
+  SELECT o_custkey, count(*) AS cnt,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey
+FROM orders o JOIN ca ON ca.o_custkey = o.o_custkey
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * ca.cnt > ca.s
+""",
+)
+def rel_above_avg_orders(sf_dir: str):
+    """Correlated subquery (TPC-H Q17 shape): orders strictly above
+    their customer's average order value. ONE hash exchange co-locates
+    each customer's orders; the comparison is cross-multiplied integer
+    cents (price·cnt > sum) so no float division ever happens — exact
+    under any distribution, and the whole block kernel is two pandas
+    grouped transforms (C kernels, no per-customer Python)."""
+    import pandas as pd
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    _OUT = pa.schema([("o_orderkey", pa.int64())])
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        ck = t["o_custkey"].to_numpy()
+        cents = t["cents"].to_numpy()
+        grp = pd.Series(cents).groupby(pd.Series(ck), sort=False)
+        cnt = grp.transform("size").to_numpy()
+        s = grp.transform("sum").to_numpy()
+        keep = cents * cnt > s
+        return pa.table({"o_orderkey": t["o_orderkey"].to_numpy()[keep]})
+
+    grouped = hash_grouped(ds.map_batches(prep, batch_format="pyarrow"), ["o_custkey"], sort=False)
+    return grouped.map_batches(
+        above_avg, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
