@@ -613,3 +613,129 @@ def rel_above_avg_orders(sf_dir: str):
     return grouped.map_batches(
         above_avg, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
     )
+
+
+# --- cohort retention --------------------------------------------------------
+
+@register(
+    "rel_cohort_retention",
+    oracle="""
+WITH w AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+SELECT c.cohort, w.wk, CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+FROM w JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def rel_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by their first-activity
+    week (cohort), counted distinct in every week they return. ONE hash
+    exchange on user_id makes per-user state block-local (each user's
+    cohort AND distinct weeks live in one block), so the wide step after
+    it only moves (cohort, week) partial counts — cell-scale, not
+    user-scale. Week truncation is integer day arithmetic mirroring
+    DuckDB's Monday-based date_trunc('week')."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    _OUT = pa.schema(
+        [("cohort", pa.timestamp("us")), ("wk", pa.timestamp("us")), ("c", pa.int64())]
+    )
+    _US_PER_DAY = 86_400_000_000
+
+    def retention_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        u = t["user_id"].to_numpy()
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # epoch day 0 = Thursday; +3 aligns Mondays to week boundaries
+        wk = (ts // _US_PER_DAY + 3) // 7
+        order = np.argsort(u, kind="stable")
+        u, wk = u[order], wk[order]
+        starts, ends = runs(u)
+        sizes = ends - starts
+        cohort = np.repeat(np.minimum.reduceat(wk, starts), sizes)
+        # distinct (user, week) pairs → per-(cohort, week) block-local
+        # distinct-user counts (each user is whole in this block)
+        base = wk.min()
+        span = int(wk.max() - base) + 1
+        uw = np.unique(
+            np.repeat(np.arange(len(starts), dtype=np.int64), sizes) * span
+            + (wk - base)
+        )
+        cohort_first = np.minimum.reduceat(wk, starts)  # per local user id
+        cw = np.unique(
+            (cohort_first[uw // span] - base) * span + (uw % span),
+            return_counts=True,
+        )
+        keys, cnts = cw
+        to_us = lambda w: ((w * 7 - 3) * _US_PER_DAY).astype("datetime64[us]")
+        return pa.table(
+            {
+                "cohort": to_us(keys // span + base),
+                "wk": to_us(keys % span + base),
+                "c": cnts.astype(np.int64),
+            }
+        ).cast(_OUT)
+
+    grouped = hash_grouped(ds, ["user_id"], sort=False)
+    out = (
+        grouped.map_batches(
+            retention_partial, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
+        .groupby(["cohort", "wk"])
+        .aggregate(Sum("c", alias_name="n_users"))
+    )
+    return out
+
+
+# --- deterministic grouped mode ----------------------------------------------
+
+@register(
+    "rel_grouped_mode",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority ASC
+  ) AS rn FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(cnt AS BIGINT) AS cnt
+FROM r WHERE rn = 1
+""",
+)
+def rel_grouped_mode(sf_dir: str):
+    """Deterministic grouped mode (most frequent value, ties broken by
+    value order): per-batch C++ partial counts → one grouped Sum over
+    (group, value) — key-pair-scale, tiny — → driver argmax. The
+    shuffle moves counts, never rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(["o_orderstatus", "o_orderpriority"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["o_orderstatus", "o_orderpriority", "cnt"])
+
+    cnts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    cnts = cnts.sort_values(
+        ["o_orderstatus", "cnt", "o_orderpriority"],
+        ascending=[True, False, True],
+        kind="stable",
+    )
+    top = cnts.groupby("o_orderstatus", sort=True).head(1).reset_index(drop=True)
+    top = top.rename(columns={"o_orderpriority": "mode_priority"})
+    return top[["o_orderstatus", "mode_priority", "cnt"]]
