@@ -152,7 +152,13 @@ def triangle_count(
         return pa.concat_tables([w_rows, e_rows])
 
     tagged = hash_grouped(
-        edges.map_batches(orient, batch_format="pyarrow"), ["src"], parallelism=nparts
+        edges.map_batches(orient, batch_format="pyarrow"),
+        ["src"],
+        parallelism=nparts,
+        sort=False,  # the kernel sorts via np.unique; ALSO: a sort=True
+        # exchange crashes on partitions that receive zero blocks (the
+        # aggregator finalizes a schema-less table and sort_by fails) —
+        # tiny graphs leave partitions empty
     ).map_batches(
         wedges_and_edges, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
     )
@@ -160,14 +166,15 @@ def triangle_count(
     _PART = pa.schema([("t", pa.int64())])
 
     def close_partial(t: pa.Table) -> pa.Table:
-        """Sorted-by-key block: a pair key closes iff its run contains an
+        """Key-grouped block (sorted here): a pair key closes iff its run contains an
         edge row; the block's triangle partial is the wedge-count sum of
         closing runs."""
         if t.num_rows == 0:
             return _PART.empty_table()
-        k = t["key"].to_numpy()
-        cnt = t["cnt"].to_numpy()
-        edge = t["edge"].to_numpy()
+        order = np.argsort(t["key"].to_numpy(), kind="stable")
+        k = t["key"].to_numpy()[order]
+        cnt = t["cnt"].to_numpy()[order]
+        edge = t["edge"].to_numpy()[order]
         starts, ends = runs(k)
         csum = np.concatenate(([0], np.cumsum(cnt)))
         esum = np.concatenate(([0], np.cumsum(edge)))
@@ -176,7 +183,7 @@ def triangle_count(
         return pa.table({"t": pa.array([tri], pa.int64())})
 
     parts = (
-        hash_grouped(tagged, ["key"], parallelism=nparts)
+        hash_grouped(tagged, ["key"], parallelism=nparts, sort=False)
         .map_batches(close_partial, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
         .to_pandas()
     )

@@ -237,3 +237,74 @@ def test_asof_join_matches_bruteforce_random(ray_session):
         (int(r.left_id), int(r.key), int(r.right_id)) for r in out.itertuples()
     )
     assert got == want
+
+
+def test_triangle_count_handles_loops_parallels_and_direction(ray_session):
+    """K4 minus one edge = 2 triangles; self-loops, reverse duplicates
+    and parallel edges must not change the count."""
+    import ray.data
+
+    from ntto_ray.queries_graph_ext import triangle_count
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("b", "a"),          # reverse duplicate of a-b
+        ("a", "b"),          # parallel duplicate
+        ("c", "c"),          # self-loop
+    ]
+    t = pa.table(
+        {
+            "subj": pa.array([e[0] for e in edges]),
+            "obj": pa.array([e[1] for e in edges]),
+        }
+    )
+    got = triangle_count(ray.data.from_arrow(t)).to_pandas()
+    assert int(got["triangles"].iloc[0]) == 2
+
+
+def test_triangle_count_empty_graph(ray_session):
+    import ray.data
+
+    from ntto_ray.queries_graph_ext import triangle_count
+
+    t = pa.table({"subj": pa.array([], pa.string()), "obj": pa.array([], pa.string())})
+    got = triangle_count(ray.data.from_arrow(t)).to_pandas()
+    assert int(got["triangles"].iloc[0]) == 0
+
+
+def test_funnel_strict_ordering_and_window(ray_session, tmp_path):
+    """Equal-ts steps must NOT chain (strict >); >24h windows must not
+    convert; a valid chain converts at its earliest completing purchase."""
+    import pyarrow.parquet as pq
+
+    from ntto_ray.registry import queries
+
+    H = 3_600_000_000  # 1h in µs
+    rows = [
+        # user 1: view@0, click@1h, purchase@2h → converts at 2h
+        (1, 0 * H, "view"), (1, 1 * H, "click"), (1, 2 * H, "purchase"),
+        # user 2: click at SAME ts as view → chain broken, no conversion
+        (2, 0 * H, "view"), (2, 0 * H, "click"), (2, 1 * H, "purchase"),
+        # user 3: purchase 25h after view → outside window
+        (3, 0 * H, "view"), (3, 1 * H, "click"), (3, 25 * H, "purchase"),
+        # user 4: purchase at same ts as click → strict > fails
+        (4, 0 * H, "view"), (4, 1 * H, "click"), (4, 1 * H, "purchase"),
+        # user 5: two completions → min purchase ts wins
+        (5, 0 * H, "view"), (5, 1 * H, "click"),
+        (5, 3 * H, "purchase"), (5, 2 * H, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = queries()["rel_funnel_conversions"](str(tmp_path)).to_pandas()
+    got = got.sort_values("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == [1, 5]
+    assert got["first_conv"].astype("int64").tolist() == [2 * H, 2 * H]
