@@ -103,7 +103,12 @@ def hash_grouped(
     ctx.default_hash_shuffle_parallelism = nparts
     # sort=False still co-locates all rows of a key in one block — pass
     # False when the downstream kernel is a hash aggregate that doesn't
-    # need contiguous runs (skips a per-partition sort).
+    # need contiguous runs (skips a per-partition sort). CAUTION: with
+    # sort=True, a partition that receives ZERO blocks (possible when
+    # the keyspace is smaller than nparts — empty upstream outputs are
+    # dropped) finalizes a schema-less table and the aggregator's
+    # sort_by crashes; for sparse keyspaces prefer sort=False and sort
+    # inside the kernel.
     return ds.repartition(nparts, keys=keys, sort=sort)
 
 
