@@ -117,14 +117,19 @@ def _dedupe_pairs(pairs: ray.data.Dataset, schema: pa.Schema) -> ray.data.Datase
     """Collapse duplicate (doc_a, doc_b) rows (a pair can be surfaced by
     several tokens / bands; every copy carries the same score) via a
     packed-int64-key hash exchange + per-block run dedupe — no generic
-    aggregate on the hot path. Assumes doc ids < 2^31."""
+    aggregate on the hot path. Assumes doc ids < 2^31. The exchange
+    ships TWO int64 columns (packed pair key + score), not the 3-column
+    pair row plus key — candidate volume is a multiple of the result at
+    high duplication, so row width is the shuffle's bytes knob."""
+    val_col = schema.names[2]
+    _SLIM = pa.schema([("pk", pa.int64()), ("v", pa.int64())])
 
     def pack(t: pa.Table) -> pa.Table:
         t = _conform(t, schema)
         pk = (t["doc_a"].to_numpy().astype(np.int64) << np.int64(31)) | t[
             "doc_b"
         ].to_numpy().astype(np.int64)
-        return t.append_column("pk", pa.array(pk, type=pa.int64()))
+        return pa.table({"pk": pa.array(pk, type=pa.int64()), "v": t[val_col]})
 
     # Finite batch_size matters: a keyed exchange passes EMPTY blocks
     # through downstream map stages without invoking the UDF, and Ray's
@@ -142,7 +147,18 @@ def _dedupe_pairs(pairs: ray.data.Dataset, schema: pa.Schema) -> ray.data.Datase
             return schema.empty_table()
         pk = t["pk"].to_numpy()
         keep = np.r_[True, pk[1:] != pk[:-1]]
-        return _conform(t.filter(pa.array(keep)), schema)
+        pk = pk[keep]
+        v = t["v"].to_numpy()[keep]
+        return _conform(
+            pa.table(
+                {
+                    "doc_a": pa.array(pk >> np.int64(31)),
+                    "doc_b": pa.array(pk & np.int64((1 << 31) - 1)),
+                    val_col: pa.array(v),
+                }
+            ),
+            schema,
+        )
 
     deduped = keyed.map_batches(drop_dup, batch_size=None, batch_format="pyarrow")
     return deduped.map_batches(
