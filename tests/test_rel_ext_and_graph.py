@@ -308,3 +308,86 @@ def test_funnel_strict_ordering_and_window(ray_session, tmp_path):
     got = got.sort_values("user_id").reset_index(drop=True)
     assert got["user_id"].tolist() == [1, 5]
     assert got["first_conv"].astype("int64").tolist() == [2 * H, 2 * H]
+
+
+def test_triangle_count_matches_bruteforce_random(ray_session):
+    """Random multigraphs (dupes, loops, both directions) vs an O(n^3)
+    brute force over the simple undirected projection."""
+    import itertools
+
+    import ray.data
+
+    from ntto_ray.queries_graph_ext import triangle_count
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        nn = int(rng.randint(4, 16))
+        ne = int(rng.randint(5, 60))
+        a = rng.randint(0, nn, ne)
+        b = rng.randint(0, nn, ne)
+        names = np.array([f"n{i}" for i in range(nn)])
+        adj = np.zeros((nn, nn), dtype=bool)
+        adj[a, b] = True
+        adj |= adj.T
+        np.fill_diagonal(adj, False)
+        want = sum(
+            1
+            for x, y, z in itertools.combinations(range(nn), 3)
+            if adj[x, y] and adj[x, z] and adj[y, z]
+        )
+        t = pa.table({"subj": pa.array(names[a]), "obj": pa.array(names[b])})
+        got = triangle_count(ray.data.from_arrow(t)).to_pandas()
+        assert int(got["triangles"].iloc[0]) == want, f"trial {trial}"
+
+
+def test_funnel_matches_bruteforce_random(ray_session, tmp_path):
+    """Random event streams vs a brute-force triple loop implementing
+    the oracle's strict inequalities and inclusive 24h window."""
+    import pyarrow.parquet as pq
+
+    from ntto_ray.registry import queries
+
+    rng = np.random.RandomState(23)
+    H = 3_600_000_000
+    n = 400
+    users = rng.randint(1, 13, n)
+    # coarse ts grid deliberately FORCES equal-ts collisions
+    ts = rng.randint(0, 50, n) * H
+    kinds = np.array(["view", "click", "purchase", "error"])[rng.randint(0, 4, n)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(kinds),
+            "value": pa.array([0.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    want = {}
+    W = 24 * H
+    for u in np.unique(users):
+        m = users == u
+        vt = ts[m & (kinds == "view")]
+        ct = ts[m & (kinds == "click")]
+        pt = ts[m & (kinds == "purchase")]
+        best = None
+        for v in vt:
+            for c in ct[(ct > v) & (ct <= v + W)]:
+                ok = pt[(pt > c) & (pt <= v + W)]
+                if len(ok):
+                    cand = int(ok.min())
+                    best = cand if best is None else min(best, cand)
+        if best is not None:
+            want[int(u)] = best
+
+    got = queries()["rel_funnel_conversions"](str(tmp_path)).to_pandas()
+    got_map = dict(
+        zip(
+            got["user_id"].astype(int),
+            got["first_conv"].astype("int64").astype(int),
+        )
+    )
+    assert got_map == want
