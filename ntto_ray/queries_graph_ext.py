@@ -198,12 +198,65 @@ def kg_triangles(sf_dir: str):
     return triangle_count(run_kg_pipeline(sf_dir).select_columns(["subj", "obj"]))
 
 
+_KHOP_SEEDS = 10
+_KHOP_K = 4
+
+
+@register("kg_khop_reach", oracle=None)  # oracle filled by _late_oracle below
+def kg_khop_reach(sf_dir: str):
+    """K-hop BFS reachability over the canonical KG: hop distance
+    (≤ {_KHOP_K}) from the {_KHOP_SEEDS} lexicographically-first subject
+    entities, via BSP frontier expansion (stages/graph.khop_distances —
+    one vectorized edge-scan per round, node-scale exchanges). The seed
+    rule is deterministic so the whole query is bit-exactly mirrorable
+    as an unrolled min-dist CTE chain. Reference has no graph operators
+    (engine surface on the ntto.go:36-50 triple model, SURVEY §2.2)."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.graph import khop_distances
+
+    edges = run_kg_pipeline(sf_dir).select_columns(["subj", "obj"]).materialize()
+
+    def emit_src(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("s", pa.string())]).empty_table()
+        return pa.table(
+            {"s": np.unique(t["subj"].to_numpy(zero_copy_only=False))}
+        )
+
+    srcs = sorted(edges.map_batches(emit_src, batch_format="pyarrow").unique("s"))
+    seeds = np.array(srcs[:_KHOP_SEEDS])
+    return khop_distances(edges, seeds, k=_KHOP_K)
+
+
 def _late_oracle():
     from ntto_ray.functions import kgspec as K
     from ntto_ray.pipelines.kg import pipeline_rules
     from ntto_ray.registry import _ORACLES
 
     canon = K.triples_canonical_sql(pipeline_rules())
+
+    khop_cte = [
+        f"canon AS ({canon})",
+        "edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM canon)",
+        f"seeds AS (SELECT DISTINCT src AS node FROM edges"
+        f" ORDER BY node LIMIT {_KHOP_SEEDS})",
+        "d0 AS (SELECT node, 0 AS dist FROM seeds)",
+    ]
+    for r in range(1, _KHOP_K + 1):
+        khop_cte.append(f"""d{r} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + 1 AS dist
+    FROM d{r - 1} p JOIN edges e ON e.src = p.node
+  ) GROUP BY node
+)""")
+    _ORACLES["kg_khop_reach"] = (
+        "WITH "
+        + ",\n".join(khop_cte)
+        + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{_KHOP_K}"
+    )
+
     _ORACLES["kg_triangles"] = f"""
 WITH canon AS ({canon}),
 und AS (

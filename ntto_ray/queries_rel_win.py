@@ -443,6 +443,101 @@ def rel_semi_join(sf_dir: str):
     )
 
 
+# --- streaming correlation / covariance moments ----------------------------
+
+@register(
+    "rel_corr_moments",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       CAST(sum(y * y) AS BIGINT) AS sum_y2
+FROM (
+  SELECT l_returnflag,
+         CAST(round(l_quantity*100) AS BIGINT) // 100 AS x,
+         CAST(round(l_extendedprice*100) AS BIGINT) // 100 AS y
+  FROM lineitem
+)
+GROUP BY l_returnflag
+""",
+)
+def rel_corr_moments(sf_dir: str):
+    """Distributed Pearson correlation / covariance support: the five
+    power sums (plus n) per group in ONE streaming pass — each batch
+    folds to per-group int64 partials inside map_batches (vectorized
+    bincount over the batch's group codes), so the shuffle moves
+    group-scale rows only and the merge is associative integer addition
+    (order-independent, bit-exact vs SQL). corr = (n·Σxy − ΣxΣy) /
+    √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)) and covar_pop = (n·Σxy − ΣxΣy)/n²
+    derive exactly from the output. y is whole dollars (not cents) so
+    Σy² keeps int64 headroom: max |y| ~1e5 → 1e10/row → ~1e9 rows per
+    group before overflow; a 100 TB deployment shards the group key or
+    widens to float128/HUGEINT at the merge."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    _M = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("n", pa.int64()),
+            ("sum_x", pa.int64()),
+            ("sum_y", pa.int64()),
+            ("sum_xy", pa.int64()),
+            ("sum_x2", pa.int64()),
+            ("sum_y2", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _M.empty_table()
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        # whole units via exact cents // 100: rounding happens at cents
+        # scale where stored 2-decimal values are integral ± ulp (never
+        # a true .5), sidestepping the half-even vs half-away divergence
+        # between pc.round and SQL round at unit scale
+        x = _cents(t["l_quantity"]).to_numpy() // 100
+        y = _cents(t["l_extendedprice"]).to_numpy() // 100
+        codes, inv = np.unique(flag, return_inverse=True)
+        k = len(codes)
+
+        # int64 accumulators (bincount's float64 weights would silently
+        # round sums past 2^53)
+        def fold(w: np.ndarray) -> np.ndarray:
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, inv, w)
+            return acc
+
+        return pa.table(
+            {
+                "l_returnflag": pa.array(codes.tolist(), pa.string()),
+                "n": np.bincount(inv, minlength=k).astype(np.int64),
+                "sum_x": fold(x),
+                "sum_y": fold(y),
+                "sum_xy": fold(x * y),
+                "sum_x2": fold(x * x),
+                "sum_y2": fold(y * y),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            *[
+                Sum(c, alias_name=c)
+                for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")
+            ]
+        )
+    )
+
+
 # --- deterministic stratified sample ---------------------------------------
 
 _SAMPLE_K = 20

@@ -80,6 +80,42 @@ def dedup_jaccard_pairs(sf_dir: str):
     return jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold_pct=90)
 
 
+_NGRAM_JACCARD_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 3)
+                        for i in generate_series(1, len(text) - 2)]) AS g
+  FROM documents WHERE len(text) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST((len(list_intersect(a.g, b.g)) * 100)
+            // (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+            AS BIGINT) AS jaccard_pct
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id
+ AND least(len(a.g), len(b.g)) * 100 >= 90 * greatest(len(a.g), len(b.g))
+WHERE len(list_intersect(a.g, b.g)) * 100
+      >= 90 * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(sf_dir: str):
+    """Char-3-gram Jaccard near-dup pairs — the shingle family that
+    catches token-boundary edits (whitespace/punctuation churn) token
+    Jaccard misses. Same globally-exact prefix-filtered similarity join
+    as dedup_jaccard_pairs; only the shingling kernel differs (flat
+    utf-32 codepoint array + vectorized k-gram rolling combine — see
+    stages/dedup._char_gram_hashes). The length prefilter in the oracle
+    join mirrors the verify kernel's necessary condition
+    100*min >= t*max."""
+    from ntto_ray.stages.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold_pct=90, char_ngram=3
+    )
+
+
 def _minhash_lsh_oracle(
     num_perm: int = 64, bands: int = 16, threshold: float = 0.5, k: int = 3
 ) -> str:

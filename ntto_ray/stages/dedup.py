@@ -194,8 +194,50 @@ def _distinct_sorted_per_row(h: np.ndarray, offsets: np.ndarray):
     return hs, out_off
 
 
+_CHAR_PRIME = _U(0x100000001B3)  # FNV-1a prime — public constant
+
+
+def _char_gram_hashes(texts: pa.ChunkedArray | pa.Array, k: int):
+    """Per-row char-``k``-gram 64-bit hashes → (flat hashes, offsets).
+    The whole batch's codepoints flatten to ONE uint32 array (a single
+    utf-32 encode per row — C-level, length-proportional, no fixed-width
+    padding blowup on skewed doc lengths); the k-gram combine is k-1
+    vectorized fused-multiply passes + one splitmix64 finalize over the
+    flat array, with row boundaries masked out by a repeat/cumsum
+    valid-start index (rows shorter than k emit nothing, matching the
+    SQL ``generate_series(1, len-k+1)`` mirror)."""
+    py = texts.to_pylist()
+    n = len(py)
+    buf = b"".join(s.encode("utf-32-le") for s in py)
+    cp = np.frombuffer(buf, dtype=np.uint32).astype(_U)
+    lens = np.fromiter((len(s) for s in py), dtype=np.int64, count=n)
+    row_off = np.empty(n + 1, dtype=np.int64)
+    row_off[0] = 0
+    np.cumsum(lens, out=row_off[1:])
+    counts = np.maximum(lens - k + 1, 0)
+    out_off = np.empty(n + 1, dtype=np.int64)
+    out_off[0] = 0
+    np.cumsum(counts, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.empty(0, dtype=_U), out_off
+    # valid gram start positions in the flat codepoint array
+    reps = counts
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], reps)
+    start = row_off[:-1][row_idx] + within
+    acc = cp[start].copy()
+    for j in range(1, k):
+        acc *= _CHAR_PRIME
+        acc += cp[start + j]
+    return _mix64(acc), out_off
+
+
 def jaccard_pairs(
-    docs: ray.data.Dataset, *, threshold_pct: int = 90
+    docs: ray.data.Dataset,
+    *,
+    threshold_pct: int = 90,
+    char_ngram: int | None = None,
 ) -> ray.data.Dataset:
     """All (a, b) doc pairs with distinct-token-set Jaccard >= threshold —
     globally exact (no blocking assumption) via prefix filtering.
@@ -214,8 +256,12 @@ def jaccard_pairs(
     float-free and hash-stable vs the SQL oracle."""
 
     def emit_prefix(t: pa.Table) -> pa.Table:
-        flat, offsets = _tokenize(t["text"].combine_chunks())
-        h = _token_hashes(flat)
+        texts = t["text"].combine_chunks()
+        if char_ngram is None:
+            flat, offsets = _tokenize(texts)
+            h = _token_hashes(flat)
+        else:
+            h, offsets = _char_gram_hashes(texts, char_ngram)
         hs, off = _distinct_sorted_per_row(h, offsets)
         ntok = np.diff(off)
         # prefix length p = n - ceil(t*n/100) + 1; ceil(a/b) = -(-a // b)

@@ -107,6 +107,83 @@ def connected_components(
     return pa.table({"doc_id": nodes, "component": labels})
 
 
+def khop_distances(
+    edges_ds: ray.data.Dataset,
+    seeds: np.ndarray,
+    *,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    k: int = 4,
+) -> pa.Table:
+    """Exact BFS hop distance (capped at ``k``) from a seed node set over
+    a directed string-node edge dataset — BSP frontier expansion, the
+    textbook distributed-BFS shape: each round is ONE vectorized pass
+    over the edge blocks (mask sources in the broadcast frontier via
+    searchsorted, fold to per-block distinct destinations) and the
+    round's exchange moves node-scale partials only. The edge set never
+    leaves the object store; only the distance vector (node-scale, the
+    same bounded driver budget as :func:`pagerank_int`) materializes.
+    Rounds stop early when a frontier empties.
+
+    Returns (node, dist) for reached nodes only, dist in [0, k]."""
+    edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+
+    def emit_nodes(t: pa.Table) -> pa.Table:
+        a = t[src_col].to_numpy(zero_copy_only=False)
+        b = t[dst_col].to_numpy(zero_copy_only=False)
+        return pa.table({"node": np.unique(np.concatenate([a, b]))})
+
+    node_list = sorted(
+        edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
+    )
+    out_schema = pa.schema([("node", pa.string()), ("dist", pa.int64())])
+    if not node_list:
+        return out_schema.empty_table()
+    nodes = np.array(node_list)  # unicode dtype → searchsorted in C
+    nodes_ref = ray.put(nodes)
+    n = len(nodes)
+
+    dist = np.full(n, -1, dtype=np.int64)
+    seed_idx = np.searchsorted(nodes, seeds)
+    ok = (seed_idx < n) & (nodes[np.minimum(seed_idx, n - 1)] == seeds)
+    dist[seed_idx[ok]] = 0
+
+    for r in range(k):
+        frontier = np.flatnonzero(dist == r)
+        if not len(frontier):
+            break
+        f_ref = ray.put(frontier)  # sorted by construction
+
+        def expand(t: pa.Table, *, ref=f_ref) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema([("i", pa.int64())]).empty_table()
+            nd, fr = ray.get(nodes_ref), ray.get(ref)
+            sid = np.searchsorted(nd, t[src_col].to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(fr, sid)
+            hit = (pos < len(fr)) & (fr[np.minimum(pos, len(fr) - 1)] == sid)
+            did = np.searchsorted(
+                nd, t[dst_col].to_numpy(zero_copy_only=False)
+            )[hit]
+            return pa.table({"i": np.unique(did).astype(np.int64)})
+
+        reached = (
+            edges.map_batches(expand, batch_format="pyarrow")
+            .unique("i")
+        )
+        new = np.array(sorted(reached), dtype=np.int64)
+        if len(new):
+            fresh = new[dist[new] < 0]
+            dist[fresh] = r + 1
+
+    hit_idx = np.flatnonzero(dist >= 0)
+    return pa.table(
+        {
+            "node": pa.array(nodes[hit_idx].tolist(), pa.string()),
+            "dist": pa.array(dist[hit_idx]),
+        }
+    )
+
+
 def pagerank_int(
     edges_ds: ray.data.Dataset,
     *,

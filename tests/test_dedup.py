@@ -123,3 +123,60 @@ def test_jaccard_pairs_large_vocab_fallback_vs_bruteforce(ray_session):
                 want.add((a, b))
     assert want, "test corpus must contain qualifying near-dup pairs"
     assert got_pairs == want
+
+
+def test_char_gram_hashes_match_per_string():
+    """Flat vectorized k-gram hashing == hashing each string alone;
+    short rows emit nothing."""
+    from ntto_ray.stages.dedup import _char_gram_hashes
+
+    texts = ["abcde", "xy", "", "héllo wörld", "abc"]
+    h, off = _char_gram_hashes(pa.array(texts), 3)
+    assert off.tolist() == [0, 3, 3, 3, 12, 13]
+    for i, s in enumerate(texts):
+        solo, soff = _char_gram_hashes(pa.array([s]), 3)
+        assert h[off[i] : off[i + 1]].tolist() == solo.tolist()
+    # distinct grams hash distinctly here; equal grams hash equal
+    ha, _ = _char_gram_hashes(pa.array(["abcabc"]), 3)
+    assert ha[0] == ha[3]  # "abc" twice
+
+
+def test_ngram_jaccard_vs_bruteforce_random(ray_session):
+    """Random word-soup corpus: char-3-gram jaccard_pairs == brute-force
+    over Python set n-grams."""
+    import itertools
+
+    import ray.data
+
+    from ntto_ray.stages.dedup import jaccard_pairs
+
+    rng = np.random.RandomState(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = []
+    for i in range(30):
+        k = rng.randint(8, 20)
+        texts.append(" ".join(words[j] for j in rng.randint(0, len(words), k)))
+    texts += [texts[0], texts[1][:-1]]  # exact dup + near dup
+    ids = list(range(len(texts)))
+
+    def grams(s):
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    want = set()
+    for a, b in itertools.combinations(ids, 2):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        if not ga and not gb:
+            continue
+        inter = len(ga & gb)
+        union = len(ga | gb)
+        if inter * 100 >= 80 * union:
+            want.add((a, b))
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    got = jaccard_pairs(ds, threshold_pct=80, char_ngram=3).to_pandas()
+    got_pairs = {
+        tuple(sorted(p)) for p in zip(got["doc_a"].astype(int), got["doc_b"].astype(int))
+    }
+    assert got_pairs == want

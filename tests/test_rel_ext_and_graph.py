@@ -391,3 +391,42 @@ def test_funnel_matches_bruteforce_random(ray_session, tmp_path):
         )
     )
     assert got_map == want
+
+
+def test_khop_distances_matches_bruteforce_random(ray_session):
+    """Random directed graphs vs brute-force BFS over the same seeds."""
+    from collections import deque
+
+    import ray.data
+
+    from ntto_ray.stages.graph import khop_distances
+
+    rng = np.random.RandomState(31)
+    for trial in range(3):
+        nn = int(rng.randint(5, 20))
+        ne = int(rng.randint(5, 80))
+        a = rng.randint(0, nn, ne)
+        b = rng.randint(0, nn, ne)
+        names = np.array([f"v{i:02d}" for i in range(nn)])
+        seeds = np.array(sorted({f"v{i:02d}" for i in a[:3]}))
+        k = 3
+
+        adj = {}
+        for x, y in zip(a, b):
+            adj.setdefault(f"v{x:02d}", set()).add(f"v{y:02d}")
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            if dist[u] >= k:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        t = pa.table({"subj": pa.array(names[a]), "obj": pa.array(names[b])})
+        got = khop_distances(
+            ray.data.from_arrow(t), seeds, k=k
+        ).to_pandas()
+        got_map = dict(zip(got["node"], got["dist"].astype(int)))
+        assert got_map == dist, f"trial {trial}"
