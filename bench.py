@@ -120,6 +120,7 @@ def run_bench() -> dict:
         "rel_events_hourly",
         "dedup_exact_fulltext",
         "dedup_jaccard_pairs",
+        "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
         "text_token_stats",

@@ -103,6 +103,58 @@ def sketch_distinct_kmv(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"est": [est], "k_used": [k_used]})
 
 
+# --- HyperLogLog registers ------------------------------------------------
+
+_HLL_P = 6  # 2^6 = 64 registers
+
+
+@register(
+    "sketch_hll_registers",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT {sk.splitmix64_sql("user_id")} AS h FROM events
+),
+r AS (
+  SELECT CAST(h >> {64 - _HLL_P} AS BIGINT) AS bucket,
+         CAST((CAST(h AS UHUGEINT) * {1 << _HLL_P})
+              & CAST(18446744073709551615 AS UHUGEINT) AS UBIGINT) AS rest
+  FROM h
+),
+rho AS (
+  SELECT bucket,
+         CASE WHEN rest = 0 THEN {64 - _HLL_P + 1}
+              ELSE strpos(lpad(bin(rest), 64, '0'), '1') END AS rho
+  FROM r
+)
+SELECT b.bucket, CAST(COALESCE(max(rho.rho), 0) AS BIGINT) AS register
+FROM (SELECT unnest(generate_series(0, {(1 << _HLL_P) - 1})) AS bucket) b
+LEFT JOIN rho ON rho.bucket = b.bucket
+GROUP BY b.bucket
+""",
+)
+def sketch_hll_registers(sf_dir: str):
+    """HyperLogLog register vector over event users (Flajolet et al.
+    2007): splitmix64 hash → top-{_HLL_P}-bit bucket → max
+    leading-zero-rank per bucket. Per-block partials are the full
+    2^{_HLL_P}-row register vector (mergeable-summary contract: O(2^p)
+    per block, never O(rows)), merged by one tiny grouped Max — the
+    sketch union operation, which is also exactly how multi-day /
+    multi-shard HLLs compose at 100 TB. The hash chain and the exact
+    bit-level rho are mirrored in SQL (bin() string scan), so even this
+    probabilistic sketch has an exact oracle; the cardinality estimate
+    is the standard alpha_m * m^2 / sum(2^-register) over the output."""
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    parts = ev.map_batches(
+        lambda t: sk.hll_partial(t, "user_id", _HLL_P),
+        batch_format="pyarrow",
+    )
+    return parts.groupby("bucket").aggregate(
+        Max("register", alias_name="register")
+    )
+
+
 # --- Bloom semi-join ------------------------------------------------------
 
 _BLOOM_SEGMENT = "BUILDING"

@@ -210,3 +210,39 @@ class BloomProbe:
         # exact verify: Bloom false positives must not reach the output
         ok = pc.is_in(t[self._key], value_set=self._keys)
         return t.filter(ok).select(self._out)
+
+
+# --- HyperLogLog registers -------------------------------------------------
+
+def _clz64(v: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (binary-search shifts —
+    exact, no float log2 whose 2^53 rounding would mis-rank big ints).
+    clz(0) reports 64."""
+    v = v.copy()
+    lz = np.zeros(len(v), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v < (_U(1) << _U(64 - s))
+        lz[m] += s
+        v[m] <<= _U(s)
+    return lz
+
+
+def hll_partial(t: pa.Table, key: str, p: int) -> pa.Table:
+    """Per-block HyperLogLog register partial (Flajolet et al. 2007):
+    bucket = top ``p`` hash bits, rho = 1 + leading zeros of the
+    remaining bits (capped at 65-p when they are all zero), per-block
+    register = max rho per bucket. Always emits the full 2^p rows so the
+    merge is a plain grouped Max and absent buckets stay 0. O(2^p)
+    output per block regardless of block size — the mergeable-summary
+    contract shared by the other sketches here."""
+    m = 1 << p
+    buckets = np.arange(m, dtype=np.int64)
+    reg = np.zeros(m, dtype=np.int64)
+    if t.num_rows:
+        x = t[key].to_numpy(zero_copy_only=False).astype(np.int64).view(_U)
+        h = splitmix64(x)
+        b = (h >> _U(64 - p)).astype(np.int64)
+        rest = h << _U(p)  # suffix bits at the top; wraps mod 2^64
+        rho = np.where(rest == 0, np.int64(64 - p + 1), _clz64(rest) + 1)
+        np.maximum.at(reg, b, rho)
+    return pa.table({"bucket": buckets, "register": reg})

@@ -107,3 +107,42 @@ def test_splitmix64_sql_mirror():
         .astype(np.uint64)
     )
     assert (got == want).all()
+
+
+def test_hll_partial_mergeable_and_matches_scalar():
+    """Register vector of the whole == elementwise max of split partials,
+    and matches a scalar-python HLL over the same hash."""
+    import pyarrow as pa
+
+    from ntto_ray.stages.sketch import _U, hll_partial, splitmix64
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 10_000, 5000).astype(np.int64)
+    p = 6
+    t = pa.table({"k": pa.array(vals, pa.int64())})
+    whole = hll_partial(t, "k", p)["register"].to_numpy()
+    h1 = hll_partial(pa.table({"k": pa.array(vals[:2500], pa.int64())}), "k", p)
+    h2 = hll_partial(pa.table({"k": pa.array(vals[2500:], pa.int64())}), "k", p)
+    merged = np.maximum(h1["register"].to_numpy(), h2["register"].to_numpy())
+    assert np.array_equal(whole, merged)
+
+    # scalar reference
+    reg = [0] * (1 << p)
+    for h in splitmix64(vals.view(_U)).tolist():
+        b = h >> (64 - p)
+        rest = (h << p) & ((1 << 64) - 1)
+        if rest == 0:
+            rho = 64 - p + 1
+        else:
+            rho = 1
+            while rest < (1 << 63):
+                rest <<= 1
+                rho += 1
+        reg[b] = max(reg[b], rho)
+    assert whole.tolist() == reg
+
+    # estimate sanity: alpha_m * m^2 / sum(2^-reg) within 30% of truth
+    m = 1 << p
+    est = (0.709 * m * m) / np.sum(np.power(2.0, -whole))
+    true = len(np.unique(vals))
+    assert 0.7 * true < est < 1.3 * true
