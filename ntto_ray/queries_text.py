@@ -655,6 +655,119 @@ def ann_ivf_topk(sf_dir: str):
     return ivf_topk(_emb(sf_dir), ids, m, k=10)
 
 
+def _pq_oracle_sql(
+    *, m: int = 4, ksub: int = 16, iters: int = 6, train: int = 4096,
+    k: int = 10, dim: int = 64,
+) -> str:
+    """Exact SQL mirror of PQ top-k INCLUDING the per-subspace L2
+    k-means sub-quantizers (stages/ann._kmeans_l2 — same mirrorability
+    engineering as the IVF oracle: first-k seeds, sqrt'd distances with
+    ties to lowest centroid id, empty clusters keep their centroid,
+    float32 quantization per iteration). The ADC score is the
+    left-associated sum of per-subspace lookup dots, matching the Ray
+    kernel's accumulation order so exact code ties rank identically."""
+    dsub = dim // m
+    parts = [
+        """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+en AS MATERIALIZED (
+  SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v
+  FROM e
+),
+sn AS MATERIALIZED (SELECT vec_id, v FROM en WHERE vec_id < {train})""".format(
+            train=train
+        )
+    ]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"""
+sub{s} AS MATERIALIZED (SELECT vec_id, (v)[{lo}:{hi}] AS sv FROM sn),
+c{s}_0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(sv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+  FROM sub{s} ORDER BY vec_id LIMIT {ksub}
+)""")
+        for it in range(1, iters + 1):
+            parts.append(f"""
+a{s}_{it} AS MATERIALIZED (
+  SELECT vec_id, sv, c FROM (
+    SELECT sub{s}.vec_id, sub{s}.sv, p.c,
+           row_number() OVER (
+             PARTITION BY sub{s}.vec_id
+             ORDER BY list_distance(sub{s}.sv, p.cv) ASC, p.c ASC
+           ) AS rn
+    FROM sub{s} CROSS JOIN c{s}_{it - 1} p
+  ) WHERE rn = 1
+),
+m{s}_{it} AS MATERIALIZED (
+  SELECT c, list(avg_x ORDER BY j) AS mv FROM (
+    SELECT a.c, j.j, avg(a.sv[j.j]) AS avg_x
+    FROM a{s}_{it} a CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS j) j
+    GROUP BY a.c, j.j
+  ) GROUP BY c
+),
+c{s}_{it} AS MATERIALIZED (
+  SELECT p.c,
+         COALESCE(
+           (SELECT list_transform(mm.mv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))
+            FROM m{s}_{it} mm WHERE mm.c = p.c),
+           p.cv) AS cv
+  FROM c{s}_{it - 1} p
+)""")
+        parts.append(f"""
+esub{s} AS MATERIALIZED (SELECT vec_id, (v)[{lo}:{hi}] AS sv FROM en),
+code{s} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT ee.vec_id, p.c,
+           row_number() OVER (
+             PARTITION BY ee.vec_id
+             ORDER BY list_distance(ee.sv, p.cv) ASC, p.c ASC
+           ) AS rn
+    FROM esub{s} ee CROSS JOIN c{s}_{iters} p
+  ) WHERE rn = 1
+),
+lut{s} AS MATERIALIZED (
+  SELECT q.qid, p.c, list_dot_product((q.qv)[{lo}:{hi}], p.cv) AS d
+  FROM (SELECT vec_id AS qid, v AS qv FROM en
+        WHERE vec_id IN {_ANN_QUERY_IDS}) q
+  CROSS JOIN c{s}_{iters} p
+)""")
+    est = " + ".join(f"lut{s}.d" for s in range(m))
+    code_joins = "\n".join(
+        f"  JOIN code{s} ON code{s}.vec_id = en.vec_id\n"
+        f"  JOIN lut{s} ON lut{s}.qid = q.qid AND lut{s}.c = code{s}.c"
+        for s in range(m)
+    )
+    body = ",".join(parts)
+    return f"""
+WITH {body},
+scored AS (
+  SELECT qid, vec_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY est DESC, vec_id ASC
+         ) AS rank
+  FROM (
+    SELECT q.qid, en.vec_id, {est} AS est
+    FROM en CROSS JOIN (SELECT vec_id AS qid FROM en
+                        WHERE vec_id IN {_ANN_QUERY_IDS}) q
+{code_joins}
+    WHERE en.vec_id <> q.qid
+  )
+)
+SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank FROM scored WHERE rank <= {k}
+"""
+
+
+@register("ann_pq_topk", oracle=_pq_oracle_sql())
+def ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN top-k (see stages/ann.pq_topk — the
+    128×-compression 100 TB vector-search layout, ADC scoring)."""
+    from ntto_ray.stages.ann import pq_topk
+
+    ids, m = _query_matrix(sf_dir)
+    return pq_topk(_emb(sf_dir), ids, m, k=10)
+
+
 # --- NT parse/render round-trip (the reference's -j surface) --------------
 
 @register("nt_roundtrip", oracle=None)

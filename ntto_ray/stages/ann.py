@@ -301,6 +301,136 @@ def ivf_topk(
     return cands.groupby("qid").map_groups(reduce_group, batch_format="pandas")
 
 
+def _kmeans_l2(sample: np.ndarray, k: int, *, iters: int = 6) -> np.ndarray:
+    """Plain-L2 k-means for PQ sub-quantizer training, engineered
+    SQL-MIRRORABLE with the same tricks as :func:`_kmeans`: first-k
+    seeding (no RNG), argmin over sqrt'd distances with ties to the
+    LOWEST centroid id (sqrt matters: two distinct squared distances can
+    round to the same sqrt, which the SQL mirror — ``list_distance`` —
+    would tie-break by id), empty clusters keep their previous centroid,
+    and centroids are float32-quantized after every mean update so
+    numpy-vs-SQL summation-order ulps cannot drift assignments."""
+    sample = np.asarray(sample, dtype=np.float64)
+    cent = sample[: min(k, len(sample))].astype(np.float32).astype(np.float64)
+    for _ in range(iters):
+        d = np.sqrt(((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2))
+        assign = np.argmin(d, axis=1)  # first min = lowest centroid id
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = cent.astype(np.float32).astype(np.float64)
+    return cent
+
+
+def pq_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 6,
+    train_sample: int = 4096,
+) -> ray.data.Dataset:
+    """Product-quantization approximate top-k (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): the vector
+    space splits into ``m`` subspaces; each trains a ``ksub``-centroid
+    L2 sub-quantizer on a driver-side sample; every corpus vector is
+    encoded as ``m`` small codes and scored against a query by summing
+    per-subspace lookup-table entries (asymmetric distance computation).
+
+    Scale story — THE 100 TB vector-search layout: codes are m bytes
+    per vector (here 4 B vs 512 B raw, 128×), so a persisted PQ index
+    keeps billions of vectors in memory per node and the scoring pass
+    is a pure table lookup + add. This one-shot query encodes and
+    scores in the same pass (no persisted index in the sandbox), but
+    the codebook broadcast (``ray.put`` once), per-batch vectorized
+    encode (argmin over (batch × ksub × dsub) distances), and
+    batch-local top-k reduction are exactly the persisted-index
+    runtime shape.
+
+    Exactness contract: ties are COMMON in PQ (same codes → identical
+    score), so batch-local selection sorts by (est DESC, vec_id ASC) —
+    the same total order as the SQL mirror's ``row_number`` — instead
+    of an order-unstable argpartition."""
+    sample = (
+        embeddings.filter(expr=f"vec_id < {int(train_sample)}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    sm = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    dim = sm.shape[1]
+    dsub = dim // m
+    cents = [
+        _kmeans_l2(sm[:, s * dsub : (s + 1) * dsub], ksub, iters=iters)
+        for s in range(m)
+    ]
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    # per-subspace query lookup tables: lut[s][qi, c] = q_s · cent_c
+    luts = [qm[:, s * dsub : (s + 1) * dsub] @ cents[s].T for s in range(m)]
+    ref = ray.put(
+        (np.asarray(query_ids, dtype=np.int64), cents, luts, dsub)
+    )
+
+    class PQScore:
+        def __init__(self, ref, k):
+            self.qids, self.cents, self.luts, self.dsub = ray.get(ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mnorm = _normalize(_emb_matrix(t))
+            vec_ids = t["vec_id"].to_numpy()
+            n = len(vec_ids)
+            est = np.zeros((len(self.qids), n), dtype=np.float64)
+            for s, (cent, lut) in enumerate(zip(self.cents, self.luts)):
+                sub = mnorm[:, s * self.dsub : (s + 1) * self.dsub]
+                d = np.sqrt(
+                    ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                )
+                code = np.argmin(d, axis=1)
+                est += lut[:, code]
+            out = []
+            kk = min(self.k + 1, n)
+            for qi, qid in enumerate(self.qids):
+                row = est[qi]
+                order = np.lexsort((vec_ids, -row))[:kk]
+                for j in order:
+                    if vec_ids[j] != qid:
+                        out.append((qid, int(vec_ids[j]), float(row[j])))
+            if not out:
+                return pa.table(
+                    {
+                        "qid": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "qid": pa.array([r[0] for r in out], pa.int64()),
+                    "vec_id": pa.array([r[1] for r in out], pa.int64()),
+                    "sim": pa.array([r[2] for r in out], pa.float64()),
+                }
+            )
+
+    cands = embeddings.map_batches(
+        PQScore,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": ref, "k": k},
+    )
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "vec_id", "rank"]]
+
+    return cands.groupby("qid").map_groups(reduce_group, batch_format="pandas")
+
+
 def cosine_pairs(
     embeddings: ray.data.Dataset, *, threshold: float = 0.4, tile: int = 4096
 ) -> ray.data.Dataset:

@@ -235,3 +235,32 @@ def test_ndjson_source_roundtrip(ray_session, tmp_path):
     got = sorted(map(tuple, back[["subj", "pred", "obj"]].to_numpy()))
     want = sorted((r["subj"], r["pred"], r["obj"]) for r in rows)
     assert got == want
+
+
+def test_ann_pq_recall_vs_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ntto_ray.stages.ann import brute_force_topk, pq_topk
+
+    emb = ray.data.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()[:3]
+    m = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()[:3]]).astype(
+        np.float64
+    )
+
+    bf = brute_force_topk(emb, ids, m, k=10).to_pandas()
+    pqr = pq_topk(emb, ids, m, k=10).to_pandas()
+    assert set(pqr.columns) == {"qid", "vec_id", "rank"}
+    for qid, g in pqr.groupby("qid"):
+        assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
+    # 4-byte codes (vs 512-byte raw) must still recover a solid fraction
+    hits = tot = 0
+    for qid in ids:
+        truth = set(bf.loc[bf.qid == qid, "vec_id"])
+        got = set(pqr.loc[pqr.qid == qid, "vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert hits / tot >= 0.3, f"PQ recall {hits}/{tot} too low"
