@@ -102,6 +102,61 @@ def media_audio_windows(sf_dir: str):
     return audio_windows(_media(sf_dir), window=16)
 
 
+def _scene_cuts_oracle(threshold: int = 128) -> str:
+    from ntto_ray.stages.sketch import splitmix64_sql
+
+    hexp = "'0123456789abcdef'"
+    ph_parse = " + ".join(
+        f"CAST(((strpos({hexp}, substr(dh, {2 * j + 1}, 1)) - 1) * 16"
+        f" + (strpos({hexp}, substr(dh, {2 * j + 2}, 1)) - 1)) AS HUGEINT)"
+        f" * {256 ** j}"
+        for j in range(8)
+    )
+    mask = "CAST(18446744073709551615 AS UHUGEINT)"
+    return f"""
+WITH vid AS (
+  SELECT event_id AS media_id,
+         sha256(repeat(sha256(CAST(event_id AS VARCHAR)), 4 + event_id % 4)) AS dh,
+         greatest(event_id % 30, 1) AS nframes
+  FROM events WHERE event_id % 3 = 2
+),
+ph AS (
+  SELECT media_id, nframes, CAST(({ph_parse}) AS UBIGINT) AS ph
+  FROM vid WHERE nframes > 1
+),
+f AS (
+  SELECT media_id, fr,
+         CAST((CAST(ph AS UHUGEINT) + CAST(fr AS UHUGEINT)) & {mask}
+              AS UBIGINT) AS pf,
+         CAST((CAST(ph AS UHUGEINT) + CAST(fr - 1 AS UHUGEINT)) & {mask}
+              AS UBIGINT) AS pf1
+  FROM (SELECT media_id, ph, unnest(generate_series(1, nframes - 1)) AS fr
+        FROM ph)
+),
+s AS (
+  SELECT media_id, fr,
+         CAST({splitmix64_sql("pf")} & 255 AS BIGINT) AS sig,
+         CAST({splitmix64_sql("pf1")} & 255 AS BIGINT) AS prev
+  FROM f
+)
+SELECT media_id, CAST(fr * 1000 AS BIGINT) AS frame_ts_ms,
+       CAST(abs(sig - prev) AS BIGINT) AS sig_delta
+FROM s WHERE abs(sig - prev) >= {threshold}
+"""
+
+
+@register("media_scene_cuts", oracle=_scene_cuts_oracle())
+def media_scene_cuts(sf_dir: str):
+    """Scene-cut detection over sampled video frames (fake decode): a
+    cut where consecutive 8-bit frame signatures differ by ≥ 128. Zero
+    shuffles — frames expand inside their video's row, so the
+    consecutive-frame scan never crosses a block (the per-asset
+    sequential-processing pattern; see stages/multimodal.SceneCuts)."""
+    from ntto_ray.stages.multimodal import scene_cuts
+
+    return scene_cuts(_media(sf_dir), fps=1.0, threshold=128)
+
+
 @register(
     "media_decode_features",
     oracle="""

@@ -264,3 +264,43 @@ def test_ann_pq_recall_vs_bruteforce(ray_session):
         hits += len(truth & got)
         tot += len(truth)
     assert hits / tot >= 0.3, f"PQ recall {hits}/{tot} too low"
+
+
+def test_scene_cuts_matches_scalar_bruteforce():
+    """SceneCuts vectorized kernel vs a per-frame scalar reference."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from ntto_ray.stages.multimodal import SceneCuts
+    from ntto_ray.stages.sketch import _U, splitmix64
+
+    payloads = [b"abc" * 11, b"xyz" * 7, b"q" * 5]
+    durs = [9000, 1000, 5000]  # 9 frames, 1 frame (no cuts), 5 frames
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "kind": pa.array(["video", "video", "video"]),
+            "payload": pa.array(payloads, pa.binary()),
+            "duration_ms": pa.array(durs, pa.int32()),
+        }
+    )
+    got = SceneCuts(fps=1.0, threshold=100)(t).to_pandas()
+
+    want = []
+    for mid, p, d in zip([1, 2, 3], payloads, durs):
+        ph = int.from_bytes(hashlib.sha256(p.hex().encode()).digest()[:8], "little")
+        n = max(1, d // 1000)
+        sigs = [
+            int(splitmix64(np.array([(ph + f) % 2**64], dtype=np.uint64))[0]) & 0xFF
+            for f in range(n)
+        ]
+        for f in range(1, n):
+            delta = abs(sigs[f] - sigs[f - 1])
+            if delta >= 100:
+                want.append((mid, f * 1000, delta))
+    got_rows = list(
+        zip(got["media_id"].astype(int), got["frame_ts_ms"].astype(int),
+            got["sig_delta"].astype(int))
+    )
+    assert got_rows == want and len(want) > 0
