@@ -538,6 +538,127 @@ def rel_corr_moments(sf_dir: str):
     )
 
 
+# --- integer-exact per-user anomaly detection ------------------------------
+
+@register(
+    "rel_anomaly_events",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS vc
+  FROM events
+),
+m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vc) AS BIGINT) AS s,
+         CAST(sum(vc*vc) AS BIGINT) AS sxx
+  FROM v GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.vc AS value_c
+FROM v e JOIN m ON e.user_id = m.user_id
+WHERE m.n >= 2
+  AND (m.n*e.vc - m.s)*(m.n*e.vc - m.s) > 4*(m.n*m.sxx - m.s*m.s)
+""",
+)
+def rel_anomaly_events(sf_dir: str):
+    """Per-user outlier events (|x − μ| > 2σ_pop) with NO floats and NO
+    event-scale shuffle: pass 1 folds per-user moments (n, Σx, Σx²) to
+    group-scale partials inside each batch and one tiny grouped Sum;
+    pass 2 broadcasts the user-moment table (``ray.put`` once, read in
+    every task) and streams the events again, flagging rows by the
+    integer cross-multiplied test (n·x − S)² > 4·(n·Sxx − S²) — exactly
+    σ-scaled, no division, associative partials, bit-exact vs SQL.
+    Headroom: (n·x_cents)² must fit int64 → per-user n ≲ 5·10⁴ at
+    cent-scale values; beyond that, shard the window (per user × month)
+    or widen the comparison to Python ints in the final filter. The
+    broadcast assumes a bounded user dimension — a billion-user corpus
+    swaps pass 2's broadcast for a shuffle join on the same moments."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    _M = pa.schema(
+        [("user_id", pa.int64()), ("n", pa.int64()),
+         ("s", pa.int64()), ("sxx", pa.int64())]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _M.empty_table()
+        uid = t["user_id"].to_numpy()
+        vc = _cents(t["value"]).to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)
+        k = len(users)
+        s = np.zeros(k, dtype=np.int64)
+        sxx = np.zeros(k, dtype=np.int64)
+        np.add.at(s, inv, vc)
+        np.add.at(sxx, inv, vc * vc)
+        return pa.table(
+            {
+                "user_id": users,
+                "n": np.bincount(inv, minlength=k).astype(np.int64),
+                "s": s,
+                "sxx": sxx,
+            }
+        )
+
+    mom = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    ref = ray.put(
+        (
+            mom["user_id"].to_numpy(),
+            mom["n"].to_numpy(),
+            mom["s"].to_numpy(),
+            mom["sxx"].to_numpy(),
+        )
+    )
+
+    _OUT = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("value_c", pa.int64())]
+    )
+
+    class Flag:
+        def __init__(self, ref):
+            self.users, self.n, self.s, self.sxx = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from ntto_ray.stages.exchange import conform
+
+            uid = t["user_id"].to_numpy()
+            vc = _cents(t["value"]).to_numpy()
+            idx = np.searchsorted(self.users, uid)
+            n, s, sxx = self.n[idx], self.s[idx], self.sxx[idx]
+            dev = n * vc - s
+            keep = (n >= 2) & (dev * dev > 4 * (n * sxx - s * s))
+            return conform(
+                pa.table(
+                    {
+                        "event_id": t["event_id"].to_numpy()[keep],
+                        "user_id": uid[keep],
+                        "value_c": vc[keep],
+                    }
+                ),
+                _OUT,
+            )
+
+    return ds.map_batches(
+        Flag,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": ref},
+    )
+
+
 # --- deterministic stratified sample ---------------------------------------
 
 _SAMPLE_K = 20

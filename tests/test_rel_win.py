@@ -91,3 +91,44 @@ def test_stratified_sample_block_layout_invariant(ray_session, tmp_path):
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert (outs[0].groupby("segment").size() == 20).all()
+
+
+def test_anomaly_events_matches_bruteforce(ray_session, tmp_path):
+    """Random per-user values vs a float-free scalar reference of the
+    |x-mu| > 2*sigma_pop test."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ntto_ray.registry import queries
+
+    rng = np.random.RandomState(5)
+    n = 300
+    users = rng.randint(1, 9, n)
+    vals = np.round(rng.exponential(50, n), 2)
+    vals[rng.choice(n, 10, replace=False)] *= 40  # genuine outliers
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    vc = np.round(vals * 100).astype(np.int64)
+    want = set()
+    for u in np.unique(users):
+        m = users == u
+        nn, s, sxx = int(m.sum()), int(vc[m].sum()), int((vc[m] ** 2).sum())
+        if nn < 2:
+            continue
+        for eid in np.flatnonzero(m):
+            dev = nn * int(vc[eid]) - s
+            if dev * dev > 4 * (nn * sxx - s * s):
+                want.add(int(eid))
+
+    got = queries()["rel_anomaly_events"](str(tmp_path)).to_pandas()
+    assert set(got["event_id"].astype(int)) == want and len(want) > 0
