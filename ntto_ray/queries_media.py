@@ -7,6 +7,8 @@ decoder, exercising the real actor-pool plumbing)."""
 
 from __future__ import annotations
 
+import numpy as np
+
 from ntto_ray.registry import register
 
 
@@ -100,6 +102,58 @@ def media_audio_windows(sf_dir: str):
     from ntto_ray.stages.multimodal import audio_windows
 
     return audio_windows(_media(sf_dir), window=16)
+
+
+_THUMB = 96  # thumbnail bounding box (px)
+
+
+@register(
+    "media_resize",
+    oracle=f"""
+SELECT event_id AS media_id,
+       CAST(64 + (event_id % 8) * 32 AS BIGINT) AS width,
+       CAST(64 + (event_id % 5) * 32 AS BIGINT) AS height,
+       CAST(greatest(1, (64 + (event_id % 8) * 32) * {_THUMB}
+                        // greatest(64 + (event_id % 8) * 32,
+                                    64 + (event_id % 5) * 32)) AS BIGINT)
+         AS thumb_w,
+       CAST(greatest(1, (64 + (event_id % 5) * 32) * {_THUMB}
+                        // greatest(64 + (event_id % 8) * 32,
+                                    64 + (event_id % 5) * 32)) AS BIGINT)
+         AS thumb_h
+FROM events WHERE event_id % 3 = 0
+""",
+)
+def media_resize(sf_dir: str):
+    """Image resize planning stage (stub decode): aspect-preserving
+    integer thumbnail dims inside a {_THUMB}px bounding box, vectorized
+    over the batch's metadata columns — the real pixel resample is the
+    stubbed step (no image libs in this container; a real deployment
+    swaps the dim arithmetic's consumer for a PIL/cv2 call in the same
+    actor-pool slot, exactly like DecodeImage's fake path). Zero
+    shuffles; binary payloads never leave the stage."""
+    import pyarrow as pa
+
+    def plan(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        imgs = t.filter(pc.equal(t["kind"], "image"))
+        w = imgs["width"].to_numpy().astype(np.int64)
+        h = imgs["height"].to_numpy().astype(np.int64)
+        mx = np.maximum(w, h)
+        tw = np.maximum(1, w * _THUMB // mx)
+        th = np.maximum(1, h * _THUMB // mx)
+        return pa.table(
+            {
+                "media_id": imgs["media_id"],
+                "width": pa.array(w),
+                "height": pa.array(h),
+                "thumb_w": pa.array(tw),
+                "thumb_h": pa.array(th),
+            }
+        )
+
+    return _media(sf_dir).map_batches(plan, batch_format="pyarrow")
 
 
 def _scene_cuts_oracle(threshold: int = 128) -> str:

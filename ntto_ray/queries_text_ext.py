@@ -700,3 +700,123 @@ def text_decontaminate(sf_dir: str):
         concurrency=(1, 8),
         fn_constructor_kwargs={"ref": bench_ref},
     )
+
+
+# --- token-budget mixture sampling ----------------------------------------
+
+_BUDGET_TOKENS = 20_000
+
+
+def _budget_oracle() -> str:
+    from ntto_ray.stages.sketch import splitmix64_sql
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS ntok FROM documents
+),
+ns AS (SELECT count(DISTINCT source) AS n FROM d),
+r AS (
+  SELECT doc_id, source, ntok,
+         sum(ntok) OVER (
+           PARTITION BY source
+           ORDER BY {splitmix64_sql("doc_id")}, doc_id
+         ) AS cum
+  FROM d
+)
+SELECT source, doc_id, CAST(ntok AS BIGINT) AS ntok,
+       CAST(cum AS BIGINT) AS cum_tok
+FROM r, ns WHERE cum <= {_BUDGET_TOKENS} // ns.n
+"""
+
+
+@register("corpus_token_budget", oracle=_budget_oracle())
+def corpus_token_budget(sf_dir: str):
+    """Training-mixture sampling under a token budget: each source gets
+    an equal share of {_BUDGET_TOKENS} tokens, filled by documents in
+    deterministic pseudo-random order (splitmix64 of doc_id — an
+    engine-reproducible shuffle, no RNG state) until the share is
+    exhausted. ONE streaming pass computes per-doc token counts + hash
+    order; one source-keyed group-safe exchange makes each source's
+    running total block-local (sources are few — the blocking key is
+    the mixture dimension, not the corpus); the budget scan is a
+    lexsort + cumsum per block. The 100 TB variant keeps the same plan:
+    per-source quota is a driver constant, the exchange moves (id,
+    ntok, hash) triples only — never text."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+    from ntto_ray.stages.sketch import splitmix64
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    _P = pa.schema(
+        [
+            ("source", pa.string()),
+            ("doc_id", pa.int64()),
+            ("ntok", pa.int64()),
+            ("h", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _P.empty_table()
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], pattern=" ")
+        ).cast(pa.int64())
+        ids = t["doc_id"].to_numpy()
+        h = splitmix64(ids.astype(np.int64).view(np.uint64))
+        return pa.table(
+            {
+                "source": t["source"],
+                "doc_id": t["doc_id"],
+                "ntok": ntok,
+                # top-bit flip: unsigned order == signed order, LOSSLESS
+                # (a >> 1 would drop the low bit and could merge two
+                # hashes whose relative order the SQL mirror still sees)
+                "h": pa.array(
+                    (h ^ np.uint64(1 << 63)).view(np.int64)
+                ),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    n_sources = len(
+        ds.select_columns(["source"]).unique("source")
+    )
+    quota = _BUDGET_TOKENS // max(1, n_sources)
+
+    _OUT = pa.schema(
+        [
+            ("source", pa.string()),
+            ("doc_id", pa.int64()),
+            ("ntok", pa.int64()),
+            ("cum_tok", pa.int64()),
+        ]
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return _OUT.empty_table()
+        src = t["source"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy()
+        ntok = t["ntok"].to_numpy()
+        h = t["h"].to_numpy()
+        order = np.lexsort((ids, h, src))
+        src, ids, ntok, h = src[order], ids[order], ntok[order], h[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        lens = np.diff(np.r_[starts, len(src)])
+        c = np.cumsum(ntok)
+        cum = c - np.repeat(c[starts] - ntok[starts], lens)
+        keep = cum <= quota
+        return pa.table(
+            {
+                "source": pa.array(src[keep].tolist(), pa.string()),
+                "doc_id": ids[keep],
+                "ntok": ntok[keep],
+                "cum_tok": cum[keep],
+            }
+        )
+
+    grouped = hash_grouped(prepped, ["source"])
+    return grouped.map_batches(
+        fill, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
