@@ -228,12 +228,64 @@ def kg_khop_reach(sf_dir: str):
     return khop_distances(edges, seeds, k=_KHOP_K)
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+@register("kg_kcore", oracle=None)  # oracle filled by _late_oracle below
+def kg_kcore(sf_dir: str):
+    """{_KCORE_K}-core of the canonical KG's undirected simple
+    projection via {_KCORE_ROUNDS} bounded peeling rounds
+    (stages/graph.kcore_peel) — fixed rounds make the iterative
+    distributed algorithm definitionally identical to the unrolled SQL
+    mirror; near-clique KGs converge in 2-3 rounds and the fixpoint
+    early-break is identity on both sides."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.graph import kcore_peel
+
+    return kcore_peel(
+        run_kg_pipeline(sf_dir).select_columns(["subj", "obj"]),
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+    )
+
+
 def _late_oracle():
     from ntto_ray.functions import kgspec as K
     from ntto_ray.pipelines.kg import pipeline_rules
     from ntto_ray.registry import _ORACLES
 
     canon = K.triples_canonical_sql(pipeline_rules())
+
+    # MATERIALIZED is load-bearing: `und` is referenced 2×rounds times
+    # and each alive{r} twice — plain CTEs re-evaluate per reference
+    # (re-reading the parquet through `canon` until the process runs out
+    # of file handles).
+    kcore_cte = [
+        f"canon AS MATERIALIZED ({canon})",
+        "und AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a,"
+        " greatest(subj, obj) AS b FROM canon WHERE subj <> obj)",
+        "alive0 AS MATERIALIZED"
+        " (SELECT a AS node FROM und UNION SELECT b FROM und)",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        kcore_cte.append(f"""deg{r} AS (
+  SELECT node, count(*) AS c FROM (
+    SELECT u.a AS node FROM und u
+      JOIN alive{r - 1} x ON x.node = u.a
+      JOIN alive{r - 1} y ON y.node = u.b
+    UNION ALL
+    SELECT u.b AS node FROM und u
+      JOIN alive{r - 1} x ON x.node = u.a
+      JOIN alive{r - 1} y ON y.node = u.b
+  ) GROUP BY node
+),
+alive{r} AS MATERIALIZED (SELECT node FROM deg{r} WHERE c >= {_KCORE_K})""")
+    _ORACLES["kg_kcore"] = (
+        "WITH "
+        + ",\n".join(kcore_cte)
+        + f"\nSELECT node FROM alive{_KCORE_ROUNDS}"
+    )
 
     khop_cte = [
         f"canon AS ({canon})",

@@ -184,6 +184,110 @@ def khop_distances(
     )
 
 
+def kcore_peel(
+    edges_ds: ray.data.Dataset,
+    *,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    k: int = 3,
+    rounds: int = 6,
+) -> pa.Table:
+    """Bounded-round k-core peeling over the undirected simple
+    projection of a string-node edge dataset: each round removes every
+    node whose degree in the current induced subgraph is < ``k``. The
+    round count is FIXED (not iterate-to-fixpoint) so the distributed
+    result is definitionally identical to the unrolled SQL mirror —
+    both sides compute exactly ``rounds`` peels; near-clique graphs
+    converge in 2-3. Per round: ONE vectorized pass over the edge
+    blocks (mask both endpoints against the broadcast alive vector,
+    fold per-block degree partials) + one node-scale grouped Sum.
+    Edge distinctness is established once up front by a packed-key
+    hash exchange (degree counts distinct neighbors, so parallel
+    edges must collapse globally before counting).
+
+    Returns (node,) — the nodes surviving ``rounds`` peels."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+
+    def emit_nodes(t: pa.Table) -> pa.Table:
+        a = t[src_col].to_numpy(zero_copy_only=False)
+        b = t[dst_col].to_numpy(zero_copy_only=False)
+        return pa.table({"node": np.unique(np.concatenate([a, b]))})
+
+    node_list = sorted(
+        edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
+    )
+    if not node_list:
+        return pa.table({"node": pa.array([], pa.string())})
+    nodes = np.array(node_list)
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+
+    _PK = pa.schema([("pk", pa.int64())])
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PK.empty_table()
+        nd = ray.get(nodes_ref)
+        a = np.searchsorted(nd, t[src_col].to_numpy(zero_copy_only=False))
+        b = np.searchsorted(nd, t[dst_col].to_numpy(zero_copy_only=False))
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"pk": np.unique(lo * n + hi)})
+
+    def uniq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return _PK.empty_table()
+        return pa.table({"pk": np.unique(t["pk"].to_numpy())})
+
+    und = hash_grouped(
+        edges.map_batches(pack, batch_size=65536, batch_format="pyarrow"),
+        ["pk"],
+        sort=False,
+    ).map_batches(
+        uniq, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    ).materialize()
+
+    alive = np.ones(n, dtype=bool)
+    for _ in range(rounds):
+        alive_ref = ray.put(alive)
+
+        def deg_partial(t: pa.Table, *, ref=alive_ref) -> pa.Table:
+            if t.num_rows == 0 or "pk" not in t.column_names:
+                return pa.schema(
+                    [("i", pa.int64()), ("c", pa.int64())]
+                ).empty_table()
+            av = ray.get(ref)
+            pk = t["pk"].to_numpy()
+            a, b = pk // n, pk % n
+            keep = av[a] & av[b]
+            both = np.concatenate([a[keep], b[keep]])
+            u, c = np.unique(both, return_counts=True)
+            return pa.table({"i": u.astype(np.int64), "c": c.astype(np.int64)})
+
+        dp = (
+            und.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("i")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+        deg = np.zeros(n, dtype=np.int64)
+        if len(dp):
+            deg[dp["i"].to_numpy()] = dp["c"].to_numpy()
+        new_alive = alive & (deg >= k)
+        if np.array_equal(new_alive, alive):
+            break  # fixpoint — further rounds are identity on both sides
+        alive = new_alive
+
+    return pa.table(
+        {"node": pa.array(nodes[np.flatnonzero(alive)].tolist(), pa.string())}
+    )
+
+
 def pagerank_int(
     edges_ds: ray.data.Dataset,
     *,

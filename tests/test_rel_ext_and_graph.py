@@ -430,3 +430,39 @@ def test_khop_distances_matches_bruteforce_random(ray_session):
         ).to_pandas()
         got_map = dict(zip(got["node"], got["dist"].astype(int)))
         assert got_map == dist, f"trial {trial}"
+
+
+def test_kcore_peel_matches_bruteforce_random(ray_session):
+    """Random multigraphs vs scalar peeling on the simple projection."""
+    import ray.data
+
+    from ntto_ray.stages.graph import kcore_peel
+
+    rng = np.random.RandomState(41)
+    for trial in range(3):
+        nn = int(rng.randint(5, 18))
+        ne = int(rng.randint(8, 70))
+        a = rng.randint(0, nn, ne)
+        b = rng.randint(0, nn, ne)
+        names = np.array([f"n{i:02d}" for i in range(nn)])
+        k, rounds = 3, 6
+
+        adj = np.zeros((nn, nn), dtype=bool)
+        adj[a, b] = True
+        adj |= adj.T
+        np.fill_diagonal(adj, False)
+        alive = np.ones(nn, dtype=bool)
+        for _ in range(rounds):
+            deg = (adj[alive][:, alive]).sum(axis=1)
+            new = alive.copy()
+            new[np.flatnonzero(alive)[deg < k]] = False
+            if np.array_equal(new, alive):
+                break
+            alive = new
+        want = set(names[alive])
+
+        t = pa.table({"subj": pa.array(names[a]), "obj": pa.array(names[b])})
+        got = kcore_peel(
+            ray.data.from_arrow(t), k=k, rounds=rounds
+        )["node"].to_pylist()
+        assert set(got) == want, f"trial {trial}"
