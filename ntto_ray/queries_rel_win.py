@@ -749,3 +749,90 @@ def rel_stratified_sample(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     grouped = hash_grouped(partials, ["segment"])
     return grouped.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+# --- exact global median without a global sort -----------------------------
+
+_MED_BUCKETS = 4096
+
+
+@register(
+    "rel_median_histogram",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS vc FROM lineitem
+),
+n AS (SELECT count(*) AS n FROM v)
+SELECT (SELECT n FROM n) AS n,
+       CAST((SELECT n FROM n) + 1 AS BIGINT) // 2 AS k,
+       (SELECT vc FROM v ORDER BY vc
+        LIMIT 1 OFFSET ((SELECT n FROM n) + 1) // 2 - 1) AS median_c
+""",
+)
+def rel_median_histogram(sf_dir: str):
+    """EXACT global median (lower median, the ((n+1)//2)-th smallest)
+    with NO global sort — the order-statistics-at-scale pattern: pass 1
+    streams min/max/count; pass 2 streams a fixed {_MED_BUCKETS}-bucket
+    histogram (one int64 vector per block, merged by vector add — tiny
+    mergeable summaries, same contract as the sketches); the driver
+    locates the bucket containing the k-th value from the prefix sums;
+    pass 3 collects ONLY that bucket's values (~n/{_MED_BUCKETS} rows,
+    result-scale) and selects exactly. A sort-based median moves n rows
+    through an all-to-all exchange; this moves 3 streaming scans and
+    one bucket. Integer-width-1 buckets short-circuit pass 3 (all
+    values identical), which also bounds adversarial skew: recurse on
+    the bucket instead of collecting when a pathological distribution
+    concentrates past driver budget."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"vc": _cents(t["l_extendedprice"])})
+
+    vc_ds = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+    stats = vc_ds.aggregate(
+        Min("vc", alias_name="lo"), Max("vc", alias_name="hi"),
+        Count(alias_name="n"),
+    )
+    lo, hi, n = int(stats["lo"]), int(stats["hi"]), int(stats["n"])
+    k = (n + 1) // 2
+    width = max(1, (hi - lo + _MED_BUCKETS) // _MED_BUCKETS)
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vc" not in t.column_names:
+            return pa.table(
+                {"b": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        b = (t["vc"].to_numpy() - lo) // width
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"b": u.astype(np.int64), "c": c.astype(np.int64)})
+
+    hp = (
+        vc_ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("b")
+    )
+    counts = np.zeros(_MED_BUCKETS + 1, dtype=np.int64)
+    counts[hp["b"].to_numpy()] = hp["c"].to_numpy()
+    csum = np.cumsum(counts)
+    bidx = int(np.searchsorted(csum, k))  # first bucket with csum >= k
+    rank_in_bucket = k - (int(csum[bidx - 1]) if bidx else 0)
+    blo, bhi = lo + bidx * width, lo + (bidx + 1) * width - 1
+
+    if blo == bhi:
+        median = blo
+    else:
+        vals = (
+            vc_ds.filter(expr=f"vc >= {blo} and vc <= {bhi}")
+            .to_pandas()["vc"]
+            .to_numpy()
+        )
+        median = int(np.partition(vals, rank_in_bucket - 1)[rank_in_bucket - 1])
+
+    import pandas as pd
+
+    return pd.DataFrame({"n": [n], "k": [k], "median_c": [median]})

@@ -132,3 +132,29 @@ def test_anomaly_events_matches_bruteforce(ray_session, tmp_path):
 
     got = queries()["rel_anomaly_events"](str(tmp_path)).to_pandas()
     assert set(got["event_id"].astype(int)) == want and len(want) > 0
+
+
+def test_median_histogram_matches_numpy(ray_session, tmp_path):
+    """Random skewed prices vs direct kth-smallest selection."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ntto_ray.registry import queries
+
+    rng = np.random.RandomState(13)
+    n = 5000
+    # heavy skew: most values in one narrow band + outliers
+    vals = np.concatenate(
+        [rng.uniform(10, 11, n - 50), rng.uniform(0, 100000, 50)]
+    )
+    vals = np.round(vals, 2)
+    t = pa.table({"l_extendedprice": pa.array(vals, pa.float64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+
+    vc = np.round(vals * 100).astype(np.int64)
+    k = (n + 1) // 2
+    want = int(np.partition(vc, k - 1)[k - 1])
+
+    got = queries()["rel_median_histogram"](str(tmp_path))
+    assert int(got["median_c"].iloc[0]) == want
+    assert int(got["n"].iloc[0]) == n and int(got["k"].iloc[0]) == k
