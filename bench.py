@@ -127,8 +127,10 @@ def run_bench() -> dict:
         "text_tfidf_top_terms",
         "rel_asof_join",
         "ann_bruteforce_topk",
+        "ann_pq_topk",
         "kg_triangles",
         "text_decontaminate",
+        "rel_median_histogram",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)

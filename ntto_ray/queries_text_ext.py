@@ -729,73 +729,69 @@ FROM r, ns WHERE cum <= {_BUDGET_TOKENS} // ns.n
 """
 
 
-@register("corpus_token_budget", oracle=_budget_oracle())
-def corpus_token_budget(sf_dir: str):
-    """Training-mixture sampling under a token budget: each source gets
-    an equal share of {_BUDGET_TOKENS} tokens, filled by documents in
-    deterministic pseudo-random order (splitmix64 of doc_id — an
-    engine-reproducible shuffle, no RNG state) until the share is
-    exhausted. ONE streaming pass computes per-doc token counts + hash
-    order; one source-keyed group-safe exchange makes each source's
-    running total block-local (sources are few — the blocking key is
-    the mixture dimension, not the corpus); the budget scan is a
-    lexsort + cumsum per block. The 100 TB variant keeps the same plan:
-    per-source quota is a driver constant, the exchange moves (id,
-    ntok, hash) triples only — never text."""
-    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+_BP = pa.schema(
+    [
+        ("source", pa.string()),
+        ("doc_id", pa.int64()),
+        ("ntok", pa.int64()),
+        ("h", pa.int64()),
+    ]
+)
+
+
+def _budget_prep(t: pa.Table, dropped_ref=None) -> pa.Table:
+    """Per-batch (source, doc_id, ntok, hash-order) prep for the budget
+    fill; ``dropped_ref`` (``ray.put`` of sorted int64 ids — broadcast
+    once, object-store-local per worker) filters docs out first."""
+    import ray
+
     from ntto_ray.stages.sketch import splitmix64
 
-    ds = _docs(sf_dir, ["doc_id", "source", "text"])
-
-    _P = pa.schema(
-        [
-            ("source", pa.string()),
-            ("doc_id", pa.int64()),
-            ("ntok", pa.int64()),
-            ("h", pa.int64()),
-        ]
-    )
-
-    def prep(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _BP.empty_table()
+    if dropped_ref is not None:
+        dropped = ray.get(dropped_ref)
+        if len(dropped):
+            keep = ~np.isin(t["doc_id"].to_numpy(), dropped)
+            t = t.filter(pa.array(keep))
         if t.num_rows == 0:
-            return _P.empty_table()
-        ntok = pc.list_value_length(
-            pc.split_pattern(t["text"], pattern=" ")
-        ).cast(pa.int64())
-        ids = t["doc_id"].to_numpy()
-        h = splitmix64(ids.astype(np.int64).view(np.uint64))
-        return pa.table(
-            {
-                "source": t["source"],
-                "doc_id": t["doc_id"],
-                "ntok": ntok,
-                # top-bit flip: unsigned order == signed order, LOSSLESS
-                # (a >> 1 would drop the low bit and could merge two
-                # hashes whose relative order the SQL mirror still sees)
-                "h": pa.array(
-                    (h ^ np.uint64(1 << 63)).view(np.int64)
-                ),
-            }
-        )
-
-    prepped = ds.map_batches(prep, batch_format="pyarrow")
-    n_sources = len(
-        ds.select_columns(["source"]).unique("source")
+            return _BP.empty_table()
+    ntok = pc.list_value_length(
+        pc.split_pattern(t["text"], pattern=" ")
+    ).cast(pa.int64())
+    ids = t["doc_id"].to_numpy()
+    h = splitmix64(ids.astype(np.int64).view(np.uint64))
+    return pa.table(
+        {
+            "source": t["source"],
+            "doc_id": t["doc_id"],
+            "ntok": ntok,
+            # top-bit flip: unsigned order == signed order, LOSSLESS
+            # (a >> 1 would drop the low bit and could merge two
+            # hashes whose relative order the SQL mirror still sees)
+            "h": pa.array((h ^ np.uint64(1 << 63)).view(np.int64)),
+        }
     )
-    quota = _BUDGET_TOKENS // max(1, n_sources)
 
-    _OUT = pa.schema(
-        [
-            ("source", pa.string()),
-            ("doc_id", pa.int64()),
-            ("ntok", pa.int64()),
-            ("cum_tok", pa.int64()),
-        ]
-    )
+
+_BOUT = pa.schema(
+    [
+        ("source", pa.string()),
+        ("doc_id", pa.int64()),
+        ("ntok", pa.int64()),
+        ("cum_tok", pa.int64()),
+    ]
+)
+
+
+def _budget_fill(prepped, quota: int):
+    """Source-keyed group-safe exchange + per-block lexsort/cumsum fill
+    to ``quota`` tokens per source."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
 
     def fill(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "source" not in t.column_names:
-            return _OUT.empty_table()
+            return _BOUT.empty_table()
         src = t["source"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy()
         ntok = t["ntok"].to_numpy()
@@ -820,3 +816,120 @@ def corpus_token_budget(sf_dir: str):
     return grouped.map_batches(
         fill, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
     )
+
+
+@register("corpus_token_budget", oracle=_budget_oracle())
+def corpus_token_budget(sf_dir: str):
+    """Training-mixture sampling under a token budget: each source gets
+    an equal share of {_BUDGET_TOKENS} tokens, filled by documents in
+    deterministic pseudo-random order (splitmix64 of doc_id — an
+    engine-reproducible shuffle, no RNG state) until the share is
+    exhausted. ONE streaming pass computes per-doc token counts + hash
+    order; one source-keyed group-safe exchange makes each source's
+    running total block-local (sources are few — the blocking key is
+    the mixture dimension, not the corpus); the budget scan is a
+    lexsort + cumsum per block. The 100 TB variant keeps the same plan:
+    per-source quota is a driver constant, the exchange moves (id,
+    ntok, hash) triples only — never text."""
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+    prepped = ds.map_batches(_budget_prep, batch_format="pyarrow")
+    n_sources = len(ds.select_columns(["source"]).unique("source"))
+    return _budget_fill(prepped, _BUDGET_TOKENS // max(1, n_sources))
+
+
+def _curate_oracle() -> str:
+    from ntto_ray.stages.sketch import splitmix64_sql
+
+    return f"""
+WITH surv AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+d AS MATERIALIZED (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS ntok
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)
+),
+ns AS (SELECT count(DISTINCT source) AS n FROM d),
+r AS (
+  SELECT doc_id, source, ntok,
+         sum(ntok) OVER (
+           PARTITION BY source
+           ORDER BY {splitmix64_sql("doc_id")}, doc_id
+         ) AS cum
+  FROM d
+)
+SELECT source, doc_id, CAST(ntok AS BIGINT) AS ntok,
+       CAST(cum AS BIGINT) AS cum_tok
+FROM r, ns WHERE cum <= {_BUDGET_TOKENS} // ns.n
+"""
+
+
+@register("corpus_curate_pipeline", oracle=_curate_oracle())
+def corpus_curate_pipeline(sf_dir: str):
+    """Composed curation pipeline #2: exact full-text dedup (keep the
+    min-id doc per md5) → token-budget mixture sampling over the
+    SURVIVING corpus. The dropped-id set is result-scale (bounded by
+    the dup rate) and broadcasts into the budget prep's filter — the
+    corpus itself is never materialized between stages, just re-scanned
+    (the same stateless-re-scan trade corpus_clean_pipeline documents).
+    One md5-keyed exchange for the dedup decision, one source-keyed
+    exchange for the fill; text never enters either."""
+    import ray
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+    from ntto_ray.stages.exchange import runs as _runs
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    _H = pa.schema([("h", pa.string()), ("doc_id", pa.int64())])
+
+    def hashes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _H.empty_table()
+        import hashlib
+
+        hs = [
+            hashlib.md5(s.encode()).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table({"h": pa.array(hs, pa.string()), "doc_id": t["doc_id"]})
+
+    _D = pa.schema([("doc_id", pa.int64())])
+
+    def non_min(t: pa.Table) -> pa.Table:
+        """Block holds whole md5 groups (hash-partitioned): every id
+        except each group's min is a drop."""
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return _D.empty_table()
+        h = t["h"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy()
+        order = np.lexsort((ids, h))
+        h, ids = h[order], ids[order]
+        starts, ends = _runs(h)
+        keep = np.ones(len(ids), dtype=bool)
+        keep[starts] = False  # min id per group survives
+        return pa.table({"doc_id": ids[keep]})
+
+    grouped = hash_grouped(
+        ds.map_batches(hashes, batch_format="pyarrow"), ["h"], sort=False
+    )
+    dropped_ds = grouped.map_batches(
+        non_min, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+    # a dup-free corpus yields an EMPTY drop dataset, whose unique()
+    # comes back None — guard rather than iterate it
+    uniq_ids = dropped_ds.unique("doc_id") or []
+    dropped = np.sort(np.asarray(list(uniq_ids), dtype=np.int64))
+    ref = ray.put(dropped)
+
+    prepped = ds.map_batches(
+        _budget_prep, batch_format="pyarrow", fn_kwargs={"dropped_ref": ref}
+    )
+    n_sources = len(
+        ds.map_batches(
+            _budget_prep,
+            batch_format="pyarrow",
+            fn_kwargs={"dropped_ref": ref},
+        )
+        .select_columns(["source"])
+        .unique("source")
+    )
+    return _budget_fill(prepped, _BUDGET_TOKENS // max(1, n_sources))

@@ -180,3 +180,59 @@ def test_ngram_jaccard_vs_bruteforce_random(ray_session):
         tuple(sorted(p)) for p in zip(got["doc_a"].astype(int), got["doc_b"].astype(int))
     }
     assert got_pairs == want
+
+
+def test_curate_pipeline_drops_exact_dups(ray_session, tmp_path):
+    """Planted exact dups: curate = dedup(keep min id) -> equal-quota
+    budget fill in splitmix64 order; scalar reference over the same
+    rule."""
+    import pyarrow.parquet as pq
+
+    from ntto_ray.queries_text_ext import _BUDGET_TOKENS
+    from ntto_ray.registry import queries
+    from ntto_ray.stages.sketch import splitmix64
+
+    rng = np.random.RandomState(17)
+    texts, srcs = [], []
+    base = ["alpha beta gamma", "delta epsilon", "zeta eta theta iota"]
+    for i in range(60):
+        texts.append(base[i % 3] + f" doc{i}")
+        srcs.append(f"s{i % 2}")
+    # exact dups: doc 50..59 replicate doc 0..9's text
+    for i in range(50, 60):
+        texts[i] = texts[i - 50]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 60),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    # scalar reference
+    seen, surv = {}, []
+    for i, s in enumerate(texts):
+        if s not in seen:
+            seen[s] = i
+            surv.append(i)
+    h = splitmix64(np.arange(60, dtype=np.int64).view(np.uint64))
+    want = {}
+    n_sources = len(set(srcs[i] for i in surv))
+    quota = _BUDGET_TOKENS // n_sources
+    for src in sorted(set(srcs)):
+        members = [i for i in surv if srcs[i] == src]
+        members.sort(key=lambda i: (int(h[i]), i))
+        cum = 0
+        for i in members:
+            ntok = len(texts[i].split(" "))
+            cum += ntok
+            if cum <= quota:
+                want[i] = cum
+
+    got = queries()["corpus_curate_pipeline"](str(tmp_path)).to_pandas()
+    got_map = dict(zip(got["doc_id"].astype(int), got["cum_tok"].astype(int)))
+    assert got_map == want
+    assert not (set(range(50, 60)) & set(got_map))  # dups dropped
