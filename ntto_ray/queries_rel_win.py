@@ -836,3 +836,128 @@ def rel_median_histogram(sf_dir: str):
     import pandas as pd
 
     return pd.DataFrame({"n": [n], "k": [k], "median_c": [median]})
+
+
+# --- per-group p95 via histogram (group-robust order statistics) ----------
+
+@register(
+    "rel_group_p95_histogram",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS p,
+         CAST(round(o_totalprice*100) AS BIGINT) AS vc
+  FROM orders
+),
+r AS (
+  SELECT p, vc,
+         row_number() OVER (PARTITION BY p ORDER BY vc) AS rn,
+         count(*) OVER (PARTITION BY p) AS n
+  FROM v
+)
+SELECT p, CAST(n AS BIGINT) AS n, CAST((95*n + 99) // 100 AS BIGINT) AS k,
+       vc AS p95_c
+FROM r WHERE rn = (95*n + 99) // 100
+""",
+)
+def rel_group_p95_histogram(sf_dir: str):
+    """EXACT per-group p95 (the ceil(0.95·n)-th smallest) without
+    sorting any group — the group-robust order-statistics pattern:
+    unlike rel_group_quantiles (which sorts each group inside one
+    block and therefore needs the group to FIT a block), this survives
+    a single group larger than worker memory. Pass 1 streams per-group
+    count + global min/max; pass 2 streams per-(group, bucket)
+    histogram partials ({_MED_BUCKETS} buckets — group-count-scale
+    summaries, mergeable by add); the driver locates each group's
+    target bucket from prefix sums; pass 3 collects only those buckets'
+    rows (result-scale) and selects exactly."""
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p": t["o_orderpriority"], "vc": _cents(t["o_totalprice"])}
+        )
+
+    vds = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+    gstats = (
+        vds.groupby("p")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("p")
+        .reset_index(drop=True)
+    )
+    tstats = vds.aggregate(Min("vc", alias_name="lo"), Max("vc", alias_name="hi"))
+    lo, hi = int(tstats["lo"]), int(tstats["hi"])
+    width = max(1, (hi - lo + _MED_BUCKETS) // _MED_BUCKETS)
+    groups = gstats["p"].to_numpy(dtype=np.str_)
+    ns = gstats["n"].to_numpy()
+    ks = (95 * ns + 99) // 100
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p" not in t.column_names:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        g = np.searchsorted(groups, t["p"].to_numpy(zero_copy_only=False))
+        b = (t["vc"].to_numpy() - lo) // width
+        packed = g * (_MED_BUCKETS + 1) + b
+        u, c = np.unique(packed, return_counts=True)
+        return pa.table({"g": u.astype(np.int64), "c": c.astype(np.int64)})
+
+    hp = (
+        vds.map_batches(hist, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    counts = np.zeros((len(groups), _MED_BUCKETS + 1), dtype=np.int64)
+    gi = hp["g"].to_numpy() // (_MED_BUCKETS + 1)
+    bi = hp["g"].to_numpy() % (_MED_BUCKETS + 1)
+    counts[gi, bi] = hp["c"].to_numpy()
+    csum = np.cumsum(counts, axis=1)
+    out_p, out_n, out_k, out_v = [], [], [], []
+    # per group: locate target bucket, rank within it
+    bidx = np.array(
+        [int(np.searchsorted(csum[i], ks[i])) for i in range(len(groups))]
+    )
+    rank_in = ks - np.where(bidx > 0, csum[np.arange(len(groups)), bidx - 1], 0)
+    blos = lo + bidx * width
+    bhis = lo + (bidx + 1) * width - 1
+    need = [i for i in range(len(groups)) if blos[i] != bhis[i]]
+    collected = {}
+    if need:
+        ref = ray.put((groups, bidx))
+
+        def in_bucket(t: pa.Table, *, ref=ref) -> pa.Table:
+            if t.num_rows == 0 or "p" not in t.column_names:
+                return pa.table(
+                    {"g": pa.array([], pa.int64()), "vc": pa.array([], pa.int64())}
+                )
+            gg, bb = ray.get(ref)
+            g = np.searchsorted(gg, t["p"].to_numpy(zero_copy_only=False))
+            vc = t["vc"].to_numpy()
+            keep = (vc - lo) // width == bb[g]
+            return pa.table({"g": g[keep].astype(np.int64), "vc": vc[keep]})
+
+        rows = (
+            vds.map_batches(in_bucket, batch_format="pyarrow")
+            .to_pandas()
+        )
+        for i in need:
+            vals = rows.loc[rows["g"] == i, "vc"].to_numpy()
+            collected[i] = int(
+                np.partition(vals, rank_in[i] - 1)[rank_in[i] - 1]
+            )
+    for i in range(len(groups)):
+        out_p.append(str(groups[i]))
+        out_n.append(int(ns[i]))
+        out_k.append(int(ks[i]))
+        out_v.append(collected.get(i, int(blos[i])))
+    return pd.DataFrame({"p": out_p, "n": out_n, "k": out_k, "p95_c": out_v})

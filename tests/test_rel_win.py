@@ -158,3 +158,37 @@ def test_median_histogram_matches_numpy(ray_session, tmp_path):
     got = queries()["rel_median_histogram"](str(tmp_path))
     assert int(got["median_c"].iloc[0]) == want
     assert int(got["n"].iloc[0]) == n and int(got["k"].iloc[0]) == k
+
+
+def test_group_p95_histogram_matches_numpy(ray_session, tmp_path):
+    """Skewed per-group prices vs direct per-group kth selection."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ntto_ray.registry import queries
+
+    rng = np.random.RandomState(29)
+    n = 4000
+    pri = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM"])[rng.randint(0, 3, n)]
+    vals = np.round(
+        np.where(rng.rand(n) < 0.9, rng.uniform(5, 6, n), rng.uniform(0, 9e4, n)),
+        2,
+    )
+    t = pa.table(
+        {
+            "o_orderpriority": pa.array(pri),
+            "o_totalprice": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "orders.parquet")
+
+    vc = np.round(vals * 100).astype(np.int64)
+    want = {}
+    for p in np.unique(pri):
+        g = vc[pri == p]
+        k = (95 * len(g) + 99) // 100
+        want[p] = int(np.partition(g, k - 1)[k - 1])
+
+    got = queries()["rel_group_p95_histogram"](str(tmp_path))
+    got_map = dict(zip(got["p"], got["p95_c"].astype(int)))
+    assert got_map == want
