@@ -109,3 +109,65 @@ def json_roundtrip(sf_dir: str):
         )
     )
     return merged
+
+
+def _late_gzip_oracle():
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.pipelines.kg import pipeline_rules
+    from ntto_ray.registry import _ORACLES
+
+    canon = K.triples_canonical_sql(pipeline_rules())
+    _ORACLES["nt_gzip_roundtrip"] = (
+        f"WITH canon AS ({canon}) SELECT subj, pred, obj FROM canon"
+    )
+
+
+@register("nt_gzip_roundtrip", oracle=None)  # oracle filled below
+def nt_gzip_roundtrip(sf_dir: str):
+    """Compressed text source: canonical triples → NT lines → per-block
+    GZIP files under /tmp (the compressed log-shipping layout; one file
+    per block keeps the write resumable and the read parallel — gzip is
+    not splittable, so file-per-block IS the parallelism unit at 100 TB)
+    → ``ray.data.read_text`` with a gzip codec → quirky parse back to
+    (subj, pred, obj). Identity on bracket-free IRIs, so the oracle is
+    the canonical SQL — the same contract as nt_roundtrip, now pinning
+    the compressed codec path both directions."""
+    import gzip
+
+    import ray.data
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.ntparse import parse_nt_batch, render_nt_batch
+
+    out = os.path.join(
+        "/tmp",
+        "ntto_ray_ntgz_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    canonical = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+    lines = canonical.map_batches(render_nt_batch, batch_format="pyarrow")
+
+    def write_gz(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            payload = "\n".join(t.column(0).to_pylist()) + "\n"
+            h = hashlib.md5(payload.encode()).hexdigest()[:16]
+            path = os.path.join(out, f"part-{h}.nt.gz")
+            with gzip.open(path, "wt") as f:
+                f.write(payload)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    # consume the write side fully before reading back
+    lines.map_batches(write_gz, batch_format="pyarrow").materialize()
+
+    back = ray.data.read_text(
+        out, arrow_open_stream_args={"compression": "gzip"}
+    )
+    renamed = back.map_batches(
+        lambda t: t.rename_columns(["text"]), batch_format="pyarrow"
+    )
+    return renamed.map_batches(parse_nt_batch, batch_format="pyarrow")
+
+
+_late_gzip_oracle()
