@@ -739,3 +739,88 @@ def rel_grouped_mode(sf_dir: str):
     top = cnts.groupby("o_orderstatus", sort=True).head(1).reset_index(drop=True)
     top = top.rename(columns={"o_orderpriority": "mode_priority"})
     return top[["o_orderstatus", "mode_priority", "cnt"]]
+
+
+# --- per-user event-type transition counts (Markov bigrams) ----------------
+
+@register(
+    "rel_event_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def rel_event_transitions(sf_dir: str):
+    """First-order behavioral transition matrix: counts of consecutive
+    (event_type → next event_type) pairs per user, ordered by (ts,
+    event_id). One user-keyed group-safe exchange makes each user's
+    sequence block-local; the per-block kernel lexsorts, pairs
+    adjacent rows within user runs, and folds to per-block (from, to)
+    partials via one Arrow grouped count — the global aggregate then
+    moves transition-matrix-scale rows (|types|², not events)."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("from_type", pa.string()),
+            ("to_type", pa.string()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _OUT.empty_table()
+        uid = t["user_id"].to_numpy()
+        ts = t["ts_us"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return _OUT.empty_table()
+        g = (
+            pa.table(
+                {
+                    "from_type": pa.array(et[:-1][same], pa.string()),
+                    "to_type": pa.array(et[1:][same], pa.string()),
+                }
+            )
+            .group_by(["from_type", "to_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["from_type", "to_type", "cnt"])
+
+    grouped = hash_grouped(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"]
+    )
+    partials = grouped.map_batches(
+        pairs, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+    return partials.groupby(["from_type", "to_type"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )

@@ -466,3 +466,43 @@ def test_kcore_peel_matches_bruteforce_random(ray_session):
             ray.data.from_arrow(t), k=k, rounds=rounds
         )["node"].to_pylist()
         assert set(got) == want, f"trial {trial}"
+
+
+def test_event_transitions_matches_bruteforce(ray_session, tmp_path):
+    """Random event streams with ts collisions vs a scalar reference of
+    the (ts, event_id)-ordered adjacent-pair counts."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ntto_ray.registry import queries
+
+    rng = np.random.RandomState(37)
+    n = 500
+    users = rng.randint(1, 10, n)
+    ts = rng.randint(0, 40, n).astype("int64") * 3_600_000_000
+    kinds = np.array(["view", "click", "purchase"])[rng.randint(0, 3, n)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(kinds),
+            "value": pa.array([0.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    want = Counter()
+    for u in np.unique(users):
+        idx = np.flatnonzero(users == u)
+        idx = idx[np.lexsort((idx, ts[idx]))]
+        for a, b in zip(idx[:-1], idx[1:]):
+            want[(kinds[a], kinds[b])] += 1
+
+    got = queries()["rel_event_transitions"](str(tmp_path)).to_pandas()
+    got_map = {
+        (r.from_type, r.to_type): int(r.cnt) for r in got.itertuples()
+    }
+    assert got_map == dict(want)
