@@ -65,7 +65,11 @@ def test_connected_components_chain_needs_rounds(ray_session):
             "doc_b": pa.array(list(range(1, n)), type=pa.int64()),
         }
     )
-    out = connected_components(ray.data.from_arrow(pairs)).to_pandas()
+    # force the DISTRIBUTED min-label path (threshold 0) — the chain
+    # is exactly the diameter case the rounds must handle
+    out = connected_components(
+        ray.data.from_arrow(pairs), small_edge_threshold=0
+    ).to_pandas()
     assert len(out) == n
     assert set(out["component"]) == {0}
 
@@ -76,7 +80,9 @@ def test_connected_components_chain_needs_rounds(ray_session):
             "doc_b": pa.array([2, 3, 11, 12], type=pa.int64()),
         }
     )
-    out2 = connected_components(ray.data.from_arrow(pairs2)).to_pandas()
+    out2 = connected_components(
+        ray.data.from_arrow(pairs2), small_edge_threshold=0
+    ).to_pandas()
     comp = dict(zip(out2["doc_id"], out2["component"]))
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[10] == comp[11] == comp[12] == 10
@@ -506,3 +512,33 @@ def test_event_transitions_matches_bruteforce(ray_session, tmp_path):
         (r.from_type, r.to_type): int(r.cnt) for r in got.itertuples()
     }
     assert got_map == dict(want)
+
+
+def test_connected_components_unionfind_matches_distributed(ray_session):
+    """Random pair graphs: the small-graph union-find fast path and the
+    distributed min-label rounds must produce identical labelings."""
+    import ray.data
+
+    from ntto_ray.stages.graph import connected_components
+
+    rng = np.random.RandomState(43)
+    for trial in range(3):
+        ne = int(rng.randint(5, 60))
+        a = rng.randint(0, 40, ne).astype(np.int64)
+        b = rng.randint(0, 40, ne).astype(np.int64)
+        pairs = pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
+        fast = (
+            connected_components(ray.data.from_arrow(pairs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        dist = (
+            connected_components(
+                ray.data.from_arrow(pairs), small_edge_threshold=0
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert fast.equals(dist), f"trial {trial}"
