@@ -223,7 +223,9 @@ def kg_khop_reach(sf_dir: str):
             {"s": np.unique(t["subj"].to_numpy(zero_copy_only=False))}
         )
 
-    srcs = sorted(edges.map_batches(emit_src, batch_format="pyarrow").unique("s"))
+    srcs = sorted(
+        edges.map_batches(emit_src, batch_format="pyarrow").unique("s") or []
+    )
     seeds = np.array(srcs[:_KHOP_SEEDS])
     return khop_distances(edges, seeds, k=_KHOP_K)
 

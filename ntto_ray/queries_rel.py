@@ -273,7 +273,7 @@ def rel_topk_orders(sf_dir: str):
 )
 def rel_distinct_segments(sf_dir: str):
     ds = _read(sf_dir, "customer", ["c_mktsegment"])
-    vals = sorted(ds.unique("c_mktsegment"))
+    vals = sorted(ds.unique("c_mktsegment") or [])
     return pa.table({"c_mktsegment": vals})
 
 

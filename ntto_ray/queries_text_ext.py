@@ -664,7 +664,10 @@ def text_decontaminate(sf_dir: str):
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     bench = pa.array(
-        sorted(docs.map_batches(bench_partial, batch_format="pyarrow").unique("tri")),
+        sorted(
+            docs.map_batches(bench_partial, batch_format="pyarrow").unique("tri")
+            or []
+        ),
         type=pa.string(),
     )
     bench_ref = ray.put(bench)
@@ -833,7 +836,7 @@ def corpus_token_budget(sf_dir: str):
     ntok, hash) triples only — never text."""
     ds = _docs(sf_dir, ["doc_id", "source", "text"])
     prepped = ds.map_batches(_budget_prep, batch_format="pyarrow")
-    n_sources = len(ds.select_columns(["source"]).unique("source"))
+    n_sources = len(ds.select_columns(["source"]).unique("source") or [])
     return _budget_fill(prepped, _BUDGET_TOKENS // max(1, n_sources))
 
 

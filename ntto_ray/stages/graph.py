@@ -109,6 +109,7 @@ def connected_components(
     nodes = np.array(
         sorted(
             edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
+        or []
         ),
         dtype=np.int64,
     )
@@ -187,6 +188,7 @@ def khop_distances(
 
     node_list = sorted(
         edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
+        or []
     )
     out_schema = pa.schema([("node", pa.string()), ("dist", pa.int64())])
     if not node_list:
@@ -218,9 +220,11 @@ def khop_distances(
             )[hit]
             return pa.table({"i": np.unique(did).astype(np.int64)})
 
+        # a dead-end frontier (no out-edges) yields an EMPTY dataset,
+        # whose unique() comes back None — guard rather than iterate it
         reached = (
-            edges.map_batches(expand, batch_format="pyarrow")
-            .unique("i")
+            edges.map_batches(expand, batch_format="pyarrow").unique("i")
+            or []
         )
         new = np.array(sorted(reached), dtype=np.int64)
         if len(new):
@@ -271,6 +275,7 @@ def kcore_peel(
 
     node_list = sorted(
         edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
+        or []
     )
     if not node_list:
         return pa.table({"node": pa.array([], pa.string())})
@@ -382,6 +387,7 @@ def pagerank_int(
 
     node_list = sorted(
         edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
+        or []
     )
     if not node_list:
         return pa.table(

@@ -542,3 +542,18 @@ def test_connected_components_unionfind_matches_distributed(ray_session):
             .reset_index(drop=True)
         )
         assert fast.equals(dist), f"trial {trial}"
+
+
+def test_khop_dead_end_frontier(ray_session):
+    """A frontier whose nodes have no out-edges must not crash the next
+    round (empty expansion → unique() returns None)."""
+    import ray.data
+
+    from ntto_ray.stages.graph import khop_distances
+
+    t = pa.table({"subj": pa.array(["a"]), "obj": pa.array(["b"])})
+    got = khop_distances(
+        ray.data.from_arrow(t), np.array(["a"]), k=3
+    ).to_pandas()
+    m = dict(zip(got["node"], got["dist"].astype(int)))
+    assert m == {"a": 0, "b": 1}
