@@ -936,3 +936,142 @@ def corpus_curate_pipeline(sf_dir: str):
         .unique("source")
     )
     return _budget_fill(prepped, _BUDGET_TOKENS // max(1, n_sources))
+
+
+# --- trigram-LM quality score ---------------------------------------------
+
+_LM_TOP_K = 20_000
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tri
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+),
+cnt AS (SELECT tri, count(*) AS c FROM tri GROUP BY tri),
+top AS (SELECT tri, c FROM cnt ORDER BY c DESC, tri ASC LIMIT {_LM_TOP_K}),
+s AS (
+  SELECT t.doc_id, sum(COALESCE(tp.c, 0)) AS tri_total, count(*) AS tri_n
+  FROM tri t LEFT JOIN top tp ON tp.tri = t.tri
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(tri_total AS BIGINT) AS tri_total,
+       CAST(tri_n AS BIGINT) AS tri_n
+FROM s
+""",
+)
+def text_lm_score(sf_dir: str):
+    """Statistical-LM quality score for curation (the importance-
+    sampling signal): per doc, the sum of corpus-wide frequencies of
+    its token trigrams under a top-{_LM_TOP_K} trigram model (OOV
+    counts 0), plus the trigram count — avg frequency = total/n derives
+    downstream, keeping the output integer-exact. Two passes: (1)
+    trigram counts via per-batch Arrow group partials + one grouped
+    Sum, then per-block partial top-K → driver merge (global top-K ⊆
+    union of per-block top-Ks since counts are already global) → the
+    MODEL broadcast via ray.put — the top-K cap is what makes the
+    broadcast scale-independent; (2) one streaming scoring pass —
+    trigrams of a doc expand inside its own row, so per-doc totals are
+    final without any aggregate. Trigram strings are built with the
+    Arrow binary_join_element_wise kernel, no Python string loop."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _tri_arrays(t: pa.Table):
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        row_off = np.concatenate([[0], np.cumsum(n)])
+        c3 = np.maximum(n - 2, 0)
+        total = int(c3.sum())
+        if total == 0:
+            return None, None
+        reps = c3
+        row_idx = np.repeat(np.arange(len(n), dtype=np.int64), reps)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        i0 = row_off[:-1][row_idx] + within
+        idx = pa.array(i0, pa.int64())
+        tri = pc.binary_join_element_wise(
+            flat.take(idx),
+            flat.take(pa.array(i0 + 1, pa.int64())),
+            flat.take(pa.array(i0 + 2, pa.int64())),
+            " ",
+        )
+        return tri, row_idx
+
+    _C = pa.schema([("tri", pa.string()), ("c", pa.int64())])
+
+    def tri_counts(t: pa.Table) -> pa.Table:
+        tri, _ = _tri_arrays(t)
+        if tri is None:
+            return _C.empty_table()
+        g = pa.table({"tri": tri}).group_by("tri").aggregate([([], "count_all")])
+        return g.rename_columns(["tri", "c"])
+
+    counts = (
+        docs.map_batches(tri_counts, batch_format="pyarrow")
+        .groupby("tri")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tri" not in t.column_names:
+            return _C.empty_table()
+        tri = t["tri"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy()
+        order = np.lexsort((tri, -c))[:_LM_TOP_K]
+        return pa.table(
+            {"tri": pa.array(tri[order].tolist(), pa.string()), "c": c[order]}
+        )
+
+    merged = (
+        counts.map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["c", "tri"], ascending=[False, True], kind="mergesort")
+        .head(_LM_TOP_K)
+    )
+    model_tri = merged["tri"].to_numpy(dtype=np.str_)
+    model_c = merged["c"].to_numpy()
+    order = np.argsort(model_tri)
+    ref = ray.put((model_tri[order], model_c[order]))
+
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("tri_total", pa.int64()), ("tri_n", pa.int64())]
+    )
+
+    def score(t: pa.Table, *, ref=ref) -> pa.Table:
+        tri, row_idx = _tri_arrays(t)
+        if tri is None:
+            return _OUT.empty_table()
+        mt, mc = ray.get(ref)
+        tn = tri.to_numpy(zero_copy_only=False).astype(np.str_)
+        if len(mt):
+            pos = np.searchsorted(mt, tn)
+            hit = (pos < len(mt)) & (mt[np.minimum(pos, len(mt) - 1)] == tn)
+            cvals = np.where(hit, mc[np.minimum(pos, len(mt) - 1)], 0)
+        else:
+            cvals = np.zeros(len(tn), dtype=np.int64)
+        k = int(row_idx.max()) + 1
+        tot = np.zeros(k, dtype=np.int64)
+        np.add.at(tot, row_idx, cvals)
+        ntri = np.bincount(row_idx, minlength=k).astype(np.int64)
+        ids = t["doc_id"].to_numpy()[:k]
+        keep = ntri > 0
+        return pa.table(
+            {
+                "doc_id": ids[keep],
+                "tri_total": tot[keep],
+                "tri_n": ntri[keep],
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

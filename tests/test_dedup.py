@@ -236,3 +236,52 @@ def test_curate_pipeline_drops_exact_dups(ray_session, tmp_path):
     got_map = dict(zip(got["doc_id"].astype(int), got["cum_tok"].astype(int)))
     assert got_map == want
     assert not (set(range(50, 60)) & set(got_map))  # dups dropped
+
+
+def test_lm_score_topk_cap_matches_bruteforce(ray_session, tmp_path, monkeypatch):
+    """Small top-K forces the model cap: scores must match a scalar
+    reference of the capped (count DESC, trigram ASC) model."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    import ntto_ray.queries_text_ext as qte
+
+    rng = np.random.RandomState(19)
+    words = ["a", "b", "c", "d", "e"]
+    texts = [
+        " ".join(words[j] for j in rng.randint(0, len(words), rng.randint(2, 12)))
+        for i in range(40)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 40),
+            "source": pa.array(["s0"] * 40),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    K = 7
+    monkeypatch.setattr(qte, "_LM_TOP_K", K)
+
+    cnt = Counter()
+    tris = {}
+    for i, s in enumerate(texts):
+        tk = s.split(" ")
+        tris[i] = [" ".join(tk[j : j + 3]) for j in range(len(tk) - 2)]
+        cnt.update(tris[i])
+    top = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:K])
+    want = {
+        i: (sum(top.get(g, 0) for g in gs), len(gs))
+        for i, gs in tris.items()
+        if gs
+    }
+
+    got = qte.text_lm_score(str(tmp_path)).to_pandas()
+    got_map = {
+        int(r.doc_id): (int(r.tri_total), int(r.tri_n)) for r in got.itertuples()
+    }
+    assert got_map == want
