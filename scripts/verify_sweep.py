@@ -78,8 +78,10 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        t_mine = 0.0
         try:
             mine = _to_pandas(fn(sf_dir))
+            t_mine = time.time() - t0
             orc = con.execute(o[name]).df()
             rows = len(mine) == len(orc)
             schema = sorted(mine.columns) == sorted(orc.columns)
@@ -92,7 +94,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             ok, status = False, f"ERR {type(e).__name__}: {e}"
         dt = time.time() - t0
-        print(f"{name:32s} {status:12s} {dt:6.1f}s", flush=True)
+        print(
+            f"{name:32s} {status:12s} {dt:6.1f}s"
+            f" (ray {t_mine:5.1f}s, oracle {dt - t_mine:5.1f}s)",
+            flush=True,
+        )
         if not ok:
             failures.append((name, status))
 
