@@ -219,7 +219,10 @@ def run_scaling() -> dict:
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
     from host_ceiling import ceiling
 
-    headline = pair(2, 8, rounds=2)
+    # measured noise on this shared host reaches ±2× between a pair's
+    # own legs; more interleaved rounds = more chances at a clean leg
+    # (raise via SCALING_ROUNDS when a run lands in a loaded window)
+    headline = pair(2, 8, rounds=int(os.environ.get("SCALING_ROUNDS", "2")))
     secondary = pair(8, 32, rounds=1)
     host = ceiling(8, 32)
     # SAME-MOMENT host ceiling for the headline pair: the pipeline's 2→8
