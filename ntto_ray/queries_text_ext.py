@@ -1075,3 +1075,89 @@ def text_lm_score(sf_dir: str):
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# --- training-chunk planning (fixed token windows with overlap) -----------
+
+_CHUNK = 64
+_OVERLAP = 8
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+m AS (SELECT doc_id, t, len(t) AS n FROM toks),
+c AS (
+  SELECT doc_id, t, n,
+         1 + greatest(0, (n - {_CHUNK} + {_CHUNK - _OVERLAP - 1})
+                         // {_CHUNK - _OVERLAP}) AS nc
+  FROM m
+),
+ch AS (
+  SELECT doc_id, t, n, unnest(generate_series(0, nc - 1)) AS i FROM c
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {_CHUNK - _OVERLAP} AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK}, n - i * {_CHUNK - _OVERLAP}) AS BIGINT) AS n_tok,
+       t[i * {_CHUNK - _OVERLAP} + 1] AS first_tok,
+       t[i * {_CHUNK - _OVERLAP}
+         + least({_CHUNK}, n - i * {_CHUNK - _OVERLAP})] AS last_tok
+FROM ch
+""",
+)
+def text_chunking(sf_dir: str):
+    """Training-chunk planning — the sequence-packing step of an LLM
+    data pipeline: each doc splits into {_CHUNK}-token windows sliding
+    by {_CHUNK}-{_OVERLAP} (so consecutive chunks share {_OVERLAP}
+    tokens); the final window keeps whatever remains (≥ {_OVERLAP}+1
+    tokens by construction). Pure row expansion inside each doc's own
+    row — zero shuffles, one streaming pass; chunk boundaries plus
+    first/last boundary tokens come out vectorized (repeat/cumsum
+    index arithmetic + two Arrow takes). A real chunker swaps the
+    whitespace tokens for BPE ids in the same kernel shape."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    step = _CHUNK - _OVERLAP
+
+    _OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("n_tok", pa.int64()),
+            ("first_tok", pa.string()),
+            ("last_tok", pa.string()),
+        ]
+    )
+
+    def chunks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        row_off = np.concatenate([[0], np.cumsum(n)])
+        nc = 1 + np.maximum(0, (n - _CHUNK + step - 1) // step)
+        total = int(nc.sum())
+        row_idx = np.repeat(np.arange(len(n), dtype=np.int64), nc)
+        ci = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nc)[:-1]]), nc
+        )
+        start = ci * step
+        n_tok = np.minimum(_CHUNK, n[row_idx] - start)
+        first_i = row_off[:-1][row_idx] + start
+        last_i = first_i + n_tok - 1
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].to_numpy()[row_idx],
+                "chunk_idx": ci,
+                "start_tok": start,
+                "n_tok": n_tok,
+                "first_tok": flat.take(pa.array(first_i, pa.int64())),
+                "last_tok": flat.take(pa.array(last_i, pa.int64())),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow")

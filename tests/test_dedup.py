@@ -285,3 +285,49 @@ def test_lm_score_topk_cap_matches_bruteforce(ray_session, tmp_path, monkeypatch
         int(r.doc_id): (int(r.tri_total), int(r.tri_n)) for r in got.itertuples()
     }
     assert got_map == want
+
+
+def test_chunking_matches_bruteforce(ray_session, tmp_path):
+    """Random doc lengths around the window boundaries vs a scalar
+    chunker implementing the same sliding rule."""
+    import pyarrow.parquet as pq
+
+    from ntto_ray.queries_text_ext import _CHUNK, _OVERLAP
+    from ntto_ray.registry import queries
+
+    rng = np.random.RandomState(61)
+    step = _CHUNK - _OVERLAP
+    # lengths straddling the boundary cases: 1, O, O+1, C-1, C, C+1,
+    # C+step, C+step+1, random
+    lens = [1, _OVERLAP, _OVERLAP + 1, _CHUNK - 1, _CHUNK, _CHUNK + 1,
+            _CHUNK + step, _CHUNK + step + 1] + list(rng.randint(1, 400, 20))
+    texts = [" ".join(f"w{i}_{j}" for j in range(L)) for i, L in enumerate(lens)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s0"] * len(texts)),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    want = []
+    for i, L in enumerate(lens):
+        toks = texts[i].split(" ")
+        nc = 1 + max(0, -(-(L - _CHUNK) // step))
+        for c in range(nc):
+            start = c * step
+            n_tok = min(_CHUNK, L - start)
+            want.append(
+                (i, c, start, n_tok, toks[start], toks[start + n_tok - 1])
+            )
+
+    got = queries()["text_chunking"](str(tmp_path)).to_pandas()
+    got_rows = sorted(
+        (int(r.doc_id), int(r.chunk_idx), int(r.start_tok), int(r.n_tok),
+         r.first_tok, r.last_tok)
+        for r in got.itertuples()
+    )
+    assert got_rows == sorted(want)
