@@ -1,14 +1,19 @@
 """Query registry: every implemented operator/pipeline exposed as a
-``sf_dir -> result`` callable, with a DuckDB oracle where the semantics
-are SQL-expressible (the driver's correctness gate). Non-SQL ops
-(probabilistic sketches, model scoring) appear in ``queries()`` only.
+``sf_dir -> result`` callable, each with an exact DuckDB oracle (the
+driver's correctness gate) — including the probabilistic ops
+(MinHash-LSH, SimHash, LSH/IVF/PQ ANN, HLL), whose deterministic hash
+chains are mirrored bit-for-bit in SQL.
 
 Grouped:
-  kg_*        — the flagship KG-construction pipeline, stage by stage
+  kg_*        — the flagship KG-construction pipeline + graph analytics
   rel_*       — relational engine operators over the TPC-H-ish tables
   dedup_*     — deduplication suite over documents
-  text_*      — text-analysis suite over documents
+  text_*      — text-analysis / curation suite over documents
   ann_*       — similarity search over embeddings
+  sketch_*    — mergeable streaming sketches
+  media_*     — multimodal binary-column stages
+  corpus_*    — composed curation pipelines
+  csv/json/nt — source-format round-trips
 """
 
 from __future__ import annotations
