@@ -239,3 +239,71 @@ def _late_oracles3():
 
 
 _late_oracles3()
+
+
+@register("kg_namespace_stats", oracle=None)  # oracle filled below
+def kg_namespace_stats(sf_dir: str):
+    """Namespace distribution of the canonical KG — the reporting view
+    of the reference's own core concept (the prefix rule table,
+    rules.go:3-242): per role (subj/pred/obj), triple counts by the
+    abbreviated namespace shortcut (the part before the first ':',
+    '(none)' when unabbreviated). One streaming pass; per-batch Arrow
+    split + masked group counts; the aggregate moves
+    (role × namespace)-scale rows."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+
+    canonical = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        roles, nss = [], []
+        for role in ("subj", "pred", "obj"):
+            v = t[role]
+            has = pc.match_substring(v, ":")
+            first = pc.list_element(
+                pc.split_pattern(v, pattern=":", max_splits=1), 0
+            )
+            ns = pc.if_else(has, first, pa.scalar("(none)"))
+            g = pa.table({"ns": ns}).group_by("ns").aggregate([([], "count_all")])
+            roles.append(
+                pa.table(
+                    {
+                        "role": pa.array([role] * g.num_rows, pa.string()),
+                        "ns": g["ns"],
+                        "n": g["count_all"],
+                    }
+                )
+            )
+        return pa.concat_tables(roles)
+
+    return (
+        canonical.map_batches(partial, batch_format="pyarrow")
+        .groupby(["role", "ns"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _late_oracles4():
+    from ntto_ray.registry import _ORACLES
+
+    canon = K.triples_canonical_sql(_rules())
+    _ORACLES["kg_namespace_stats"] = f"""
+WITH canon AS MATERIALIZED ({canon}),
+r AS (
+  SELECT 'subj' AS role, subj AS v FROM canon
+  UNION ALL SELECT 'pred', pred FROM canon
+  UNION ALL SELECT 'obj', obj FROM canon
+)
+SELECT role,
+       CASE WHEN strpos(v, ':') > 0 THEN substr(v, 1, strpos(v, ':') - 1)
+            ELSE '(none)' END AS ns,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
+""".strip()
+
+
+_late_oracles4()
