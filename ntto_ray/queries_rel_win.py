@@ -671,10 +671,12 @@ _MOD = 4294967296  # 2^32
     oracle=f"""
 WITH h AS (
   SELECT c_mktsegment AS segment, c_custkey,
-         (c_custkey * {_KNUTH}) % {_MOD} AS hsh,
+         CAST((CAST(c_custkey AS UHUGEINT) * {_KNUTH}) % {_MOD} AS BIGINT)
+           AS hsh,
          row_number() OVER (
            PARTITION BY c_mktsegment
-           ORDER BY (c_custkey * {_KNUTH}) % {_MOD}, c_custkey
+           ORDER BY (CAST(c_custkey AS UHUGEINT) * {_KNUTH}) % {_MOD},
+                    c_custkey
          ) AS rank
   FROM customer
 )
@@ -698,7 +700,12 @@ def rel_stratified_sample(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         ck = t["c_custkey"].to_numpy()
         seg = t["c_mktsegment"].to_numpy(zero_copy_only=False)
-        hsh = (ck * _KNUTH) % _MOD
+        # uint64 wrap-around multiply: (x*K mod 2^64) mod 2^32 == x*K mod
+        # 2^32, matching the oracle's UHUGEINT arithmetic for ANY custkey
+        # (int64 would silently wrap differently past ~3.5e9).
+        hsh = (
+            (ck.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        ).astype(np.int64)
         codes, inv = np.unique(seg, return_inverse=True)
         order = np.lexsort((ck, hsh, inv))
         inv_s = inv[order]

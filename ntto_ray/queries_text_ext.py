@@ -926,14 +926,25 @@ def corpus_curate_pipeline(sf_dir: str):
     prepped = ds.map_batches(
         _budget_prep, batch_format="pyarrow", fn_kwargs={"dropped_ref": ref}
     )
+
+    # n_sources = distinct sources among SURVIVING docs — a cheap
+    # (doc_id, source)-only projection + broadcast drop-filter, NOT a
+    # second full tokenize pass over every text. An all-dup corpus can
+    # leave unique() returning None: guard with `or []`.
+    def _surv_sources(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["source"])
+        drop = ray.get(ref)
+        if len(drop):
+            keep = ~np.isin(t["doc_id"].to_numpy(), drop)
+            t = t.filter(pa.array(keep))
+        return t.select(["source"])
+
     n_sources = len(
-        ds.map_batches(
-            _budget_prep,
-            batch_format="pyarrow",
-            fn_kwargs={"dropped_ref": ref},
-        )
-        .select_columns(["source"])
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(_surv_sources, batch_format="pyarrow")
         .unique("source")
+        or []
     )
     return _budget_fill(prepped, _BUDGET_TOKENS // max(1, n_sources))
 

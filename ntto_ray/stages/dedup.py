@@ -772,6 +772,10 @@ def simhash_pairs(
     assert max_hamming <= bands - 1, "pigeonhole exactness needs max_hamming < bands"
     width = 64 // bands
     mask = _U((1 << width) - 1)
+    # Band id packs into the low bits of the bucket key; shift by exactly
+    # bit_length(bands) so distinct (band, slice) buckets never alias for
+    # ANY valid bands value (a fixed <<3 merged buckets past 8 bands).
+    band_shift = np.int64(int(bands).bit_length())
 
     fps = simhash_fingerprints(docs)
 
@@ -786,7 +790,7 @@ def simhash_pairs(
         keys = np.empty(bands * n, dtype=np.int64)
         for b in range(bands):
             bv = ((fp >> _U(b * width)) & mask).astype(np.int64)
-            keys[b * n : (b + 1) * n] = (bv << np.int64(3)) | np.int64(b)
+            keys[b * n : (b + 1) * n] = (bv << band_shift) | np.int64(b)
         return pa.table(
             {
                 "bkey": keys,

@@ -98,9 +98,13 @@ def mg_partial(t: pa.Table, key: str, k: int) -> pa.Table:
         keys, cnts = keys[keep], cnts[keep] - cut
         live = cnts > 0
         keys, cnts = keys[live], cnts[live]
+    # Sentinel row (cnt=0) carries the exact block row count even when the
+    # truncation cancels every retained key (near-uniform blocks with more
+    # than k distinct keys) — N must never depend on which keys survive.
+    keys = np.concatenate([keys.astype(np.int64), np.zeros(1, np.int64)])
+    cnts = np.concatenate([cnts, np.zeros(1, np.int64)])
     n_rows = np.zeros(len(keys), dtype=np.int64)
-    if len(n_rows):
-        n_rows[0] = n
+    n_rows[-1] = n
     return pa.table(
         {
             "key": pa.array(keys, pa.int64()),
@@ -125,8 +129,10 @@ def mg_merge(parts: pa.Table, k: int) -> tuple[np.ndarray, np.ndarray, int]:
         cut = cnts[order[k]]
         keep = order[:k]
         keys, cnts = keys[keep], cnts[keep] - cut
-        live = cnts > 0
-        keys, cnts = keys[live], cnts[live]
+    # Drop non-positive counts unconditionally: the per-block sentinel rows
+    # (cnt=0) must never surface as candidates.
+    live = cnts > 0
+    keys, cnts = keys[live], cnts[live]
     return keys, cnts, n_total
 
 

@@ -52,6 +52,29 @@ def test_mg_exact_when_capacity_suffices():
     }
 
 
+def test_mg_near_uniform_block_keeps_exact_n():
+    """A block with more than k distinct keys at EQUAL counts cancels
+    every retained count in the truncation — the block's row count must
+    survive anyway (ADVICE r02: n_total=0 made heavy-hitter thresholds
+    diverge on near-uniform data)."""
+    vals = np.arange(3000, dtype=np.int64)  # 3000 uniques, count 1 each
+    part = sk.mg_partial(pa.table({"v": pa.array(vals)}), "v", 2048)
+    keys, counts, n = sk.mg_merge(part, 2048)
+    assert n == 3000
+    assert (counts > 0).all()  # the sentinel never surfaces as a candidate
+
+    # and across mixed blocks: uniform block + skewed block
+    skew = np.repeat([7, 9], [500, 300]).astype(np.int64)
+    parts = pa.concat_tables(
+        [
+            sk.mg_partial(pa.table({"v": pa.array(vals)}), "v", 2048),
+            sk.mg_partial(pa.table({"v": pa.array(skew)}), "v", 2048),
+        ]
+    )
+    _, _, n = sk.mg_merge(parts, 2048)
+    assert n == 3800
+
+
 def test_kmv_exact_below_k_and_estimate_above():
     rng = np.random.default_rng(11)
     small = rng.choice(40, size=500).astype(np.int64)
