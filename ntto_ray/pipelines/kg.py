@@ -178,6 +178,27 @@ def build_graph(
     return canonicalize(abbrev, keep_bucket=keep_bucket)
 
 
+# Per-session materialized canonical-KG cache. Nine registered queries
+# (pagerank, triangles, khop, kcore, copairs, namespace stats, ndjson,
+# adjacency, nt roundtrip) consume the SAME canonical graph; rebuilding
+# it per query re-runs extract+link+emit+prefix+shuffle every time. A
+# materialized Dataset is a handle to immutable object-store blocks, so
+# reuse is exactly the shared-subplan / materialized-view pattern — and
+# the cache is keyed by Ray job id so a new ray.init never sees a stale
+# handle. Canonical triples are ~2% the transcript bytes (dedup'd,
+# abbreviated), so pinning them is cheap; disable with NTTO_KG_CACHE=0.
+_CANON_CACHE: dict[tuple, ray.data.Dataset] = {}
+
+
+def _cache_key(sf_dir: str, keep_bucket: bool) -> tuple | None:
+    import os
+
+    if os.environ.get("NTTO_KG_CACHE", "1") == "0" or not ray.is_initialized():
+        return None
+    job = ray.get_runtime_context().get_job_id()
+    return (job, os.path.abspath(sf_dir), keep_bucket)
+
+
 def run_kg_pipeline(
     sf_dir: str,
     out_dir: str | None = None,
@@ -201,6 +222,15 @@ def run_kg_pipeline(
     where three 1-actor pools plus a task would deadlock. The unfused
     per-stage topology stays exercised (with oracles) by the
     kg_triples_raw / kg_triples_abbrev queries."""
+    # Cache only the default-shaped build (the one every registered query
+    # uses); custom cfg / replication / write runs always build fresh.
+    cacheable = (
+        cfg is None and synthesize and not write and replicate == 1 and fused
+    )
+    key = _cache_key(sf_dir, keep_bucket) if cacheable else None
+    if key is not None and key in _CANON_CACHE:
+        return _CANON_CACHE[key]
+
     cfg = cfg or KGConfig()
     if synthesize:
         transcripts = synth_transcripts(sf_dir, replicate=replicate)
@@ -209,6 +239,9 @@ def run_kg_pipeline(
     canonical = build_graph(
         transcripts, cfg, fused=fused, keep_bucket=keep_bucket or write
     )
+    if key is not None:
+        canonical = canonical.materialize()
+        _CANON_CACHE[key] = canonical
     if write:
         assert out_dir is not None
         write_adjacency(canonical, f"{out_dir}/adjacency")

@@ -3,14 +3,26 @@ turns near-duplicate PAIRS (jaccard_pairs / simhash_pairs /
 minhash_lsh_pairs) into duplicate GROUPS, so a corpus-dedup pipeline can
 keep one canonical document per component.
 
-Scale contract: the EDGE set stays a distributed Dataset throughout
-(each round is one vectorized map over edge blocks + one grouped min
-aggregate). Only the LABEL table materializes per round — its size is
-the number of near-duplicate documents, i.e. result-scale (bounded by
-the dup rate, not the corpus), the same budget as the repo's broadcast
-dimension tables. A corpus whose *duplicate* set alone exceeds driver
-memory would need the labels kept as a Dataset and a join per round —
-documented trade-off, not the common case."""
+Scale contract — THREE regimes, chosen by measured input size, every
+one producing the identical result (tests pin them against each other):
+
+* ``fold`` (edge count ≤ ``fold_edges``): the per-round reduce skips
+  the grouped exchange entirely — per-block partials come straight to
+  the driver (partial volume ≤ edge rows by construction) and fold with
+  ``np.add.at`` / ``np.minimum.at``. Exchanges cost seconds of fixed
+  scheduling overhead per round; on test-scale graphs they dominated
+  utterly (kg_pagerank spent ~90 % of its wall time in 10 tiny
+  all-to-alls).
+* ``driver vectors`` (node count ≤ ``max_driver_nodes``): the original
+  shape — edge Dataset stays distributed, per-round grouped aggregate
+  pre-reduces to node scale, only the label/rank vector lives on the
+  driver and broadcasts per round.
+* ``dataset labels`` (past ``max_driver_nodes``): NO node-scale driver
+  state at all — labels/ranks/frontiers are themselves Datasets, each
+  round is a tag-union hash exchange joining state into edges (push)
+  plus one joining messages back into state (apply). This is the
+  100×-node path a 10⁹-node graph needs (a driver vector would be tens
+  of GB broadcast per round)."""
 
 from __future__ import annotations
 
@@ -19,6 +31,13 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+# Regime thresholds. fold: per-round partial volume is bounded by the
+# edge count, so ≤5M edges collects in one cheap driver fold. driver
+# vectors: a 50M-node int64 vector is 400 MB — the upper end of what a
+# driver can rebroadcast per round; past it, labels become a Dataset.
+FOLD_EDGES = 5_000_000
+MAX_DRIVER_NODES = 50_000_000
 
 
 class UnconvergedComponentsError(RuntimeError):
@@ -62,6 +81,8 @@ def connected_components(
     b_col: str = "doc_b",
     max_rounds: int = 50,
     small_edge_threshold: int = 200_000,
+    fold_edges: int = FOLD_EDGES,
+    max_driver_nodes: int = MAX_DRIVER_NODES,
 ) -> pa.Table:
     """Connected components of the undirected pair graph by min-label
     propagation: every node's label starts as its own id; each round,
@@ -86,7 +107,8 @@ def connected_components(
 
     edges = pairs.select_columns([a_col, b_col]).materialize()
 
-    if edges.count() <= small_edge_threshold:
+    n_edges = edges.count()
+    if n_edges <= small_edge_threshold:
         df = edges.to_pandas()
         if not len(df):
             return pa.table(
@@ -100,19 +122,27 @@ def connected_components(
             df[b_col].to_numpy().astype(np.int64),
         )
 
+    fold = n_edges <= fold_edges
+    if not fold and 2 * n_edges > max_driver_nodes:
+        if _distinct_node_count(edges, a_col, b_col) > max_driver_nodes:
+            return _components_dataset(
+                edges, a_col=a_col, b_col=b_col, max_rounds=max_rounds
+            )
+
     # node set: ONE distributed pass over both endpoint columns
     def emit_nodes(t: pa.Table) -> pa.Table:
         a = t[a_col].to_numpy().astype(np.int64)
         b = t[b_col].to_numpy().astype(np.int64)
         return pa.table({"node": np.unique(np.concatenate([a, b]))})
 
-    nodes = np.array(
-        sorted(
-            edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
-        or []
-        ),
-        dtype=np.int64,
-    )
+    per_block = edges.map_batches(emit_nodes, batch_format="pyarrow")
+    if fold:
+        ndf = per_block.to_pandas()
+        nodes = np.unique(ndf["node"].to_numpy())
+    else:
+        nodes = np.array(
+            sorted(per_block.unique("node") or []), dtype=np.int64
+        )
     labels = nodes.copy()
 
     def push_min(t: pa.Table, *, ref) -> pa.Table:
@@ -139,12 +169,17 @@ def connected_components(
 
     for _ in range(max_rounds):
         ref = ray.put((nodes, labels))
-        folded = (
-            edges.map_batches(push_min, batch_format="pyarrow", fn_kwargs={"ref": ref})
-            .groupby("node")
-            .aggregate(Min("lab", alias_name="lab"))
-            .to_pandas()
+        pushed = edges.map_batches(
+            push_min, batch_format="pyarrow", fn_kwargs={"ref": ref}
         )
+        if fold:
+            folded = pushed.to_pandas()  # per-block partials ≤ edge rows
+        else:
+            folded = (
+                pushed.groupby("node")
+                .aggregate(Min("lab", alias_name="lab"))
+                .to_pandas()
+            )
         new_labels = labels.copy()
         idx = np.searchsorted(nodes, folded["node"].to_numpy())
         np.minimum.at(new_labels, idx, folded["lab"].to_numpy())
@@ -160,6 +195,185 @@ def connected_components(
     return pa.table({"doc_id": nodes, "component": labels})
 
 
+def _components_dataset(
+    edges: ray.data.Dataset,
+    *,
+    a_col: str,
+    b_col: str,
+    max_rounds: int,
+) -> pa.Table:
+    """Dataset-resident min-label propagation: labels live in a (node,
+    lab) Dataset, never on the driver. Per round: (1) PUSH — a tag-union
+    exchange joins labels into the (both-direction) edge list on the
+    endpoint key; each edge row pushes its key's label to the other
+    endpoint; (2) APPLY — pushes join back into the label set on the node
+    key and a grouped min folds them, emitting a per-node ``changed``
+    flag whose per-block partial sums give an O(blocks) convergence check
+    (labels only ever decrease). Result identical to the driver-vector
+    path and the union-find fast path (min member id per component)."""
+    import pyarrow.compute as pc
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    _J = pa.schema(
+        [("key", pa.int64()), ("other", pa.int64()), ("lab", pa.int64()),
+         ("tag", pa.int8())]
+    )
+    _ST = pa.schema(
+        [("key", pa.int64()), ("lab", pa.int64()), ("changed", pa.int64())]
+    )
+
+    def both_dir(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _J.empty_table()
+        a = t[a_col].to_numpy().astype(np.int64)
+        b = t[b_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "key": np.concatenate([a, b]),
+                "other": np.concatenate([b, a]),
+                "lab": np.zeros(2 * len(a), np.int64),
+                "tag": pa.array(np.zeros(2 * len(a), np.int8)),
+            }
+        ).cast(_J)
+
+    dir_edges = edges.map_batches(both_dir, batch_format="pyarrow").materialize()
+
+    # label0 = node id, from one grouped distinct over endpoint partials
+    def node_parts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return pa.schema([("key", pa.int64())]).empty_table()
+        return pa.table({"key": np.unique(t["key"].to_numpy())})
+
+    def init_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _ST.empty_table()
+        u = np.unique(t["key"].to_numpy())
+        return pa.table(
+            {"key": u, "lab": u, "changed": np.zeros(len(u), np.int64)}
+        )
+
+    state = (
+        hash_grouped(
+            dir_edges.map_batches(node_parts, batch_format="pyarrow"),
+            ["key"],
+            sort=False,
+        )
+        .map_batches(init_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
+        .materialize()
+    )
+
+    def tag_state(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _J.empty_table()
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["key"],
+                "other": pa.array(np.zeros(n, np.int64)),
+                "lab": t["lab"],
+                "tag": pa.array(np.ones(n, np.int8)),
+            }
+        ).cast(_J)
+
+    _P = pa.schema([("key", pa.int64()), ("lab", pa.int64()), ("tag", pa.int8())])
+
+    def push_kernel(t: pa.Table) -> pa.Table:
+        """Per key-group: the tag=1 row carries lab[key]; every edge row
+        pushes it to its other endpoint (block-locally min-folded)."""
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _P.empty_table()
+        kk = t["key"].to_numpy()
+        tag = t["tag"].to_numpy()
+        u, inv = np.unique(kk, return_inverse=True)
+        lab_g = np.zeros(len(u), dtype=np.int64)
+        st = tag == 1
+        lab_g[inv[st]] = t["lab"].to_numpy()[st]
+        em = ~st
+        if not em.any():
+            return _P.empty_table()
+        dst = t["other"].to_numpy()[em]
+        pushed = lab_g[inv[em]]
+        ud, dinv = np.unique(dst, return_inverse=True)
+        m = np.full(len(ud), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(m, dinv, pushed)
+        return pa.table(
+            {"key": ud, "lab": m, "tag": pa.array(np.zeros(len(ud), np.int8))}
+        )
+
+    def tag_state_p(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _P.empty_table()
+        return pa.table(
+            {
+                "key": t["key"],
+                "lab": t["lab"],
+                "tag": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        ).cast(_P)
+
+    def apply_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _ST.empty_table()
+        kk = t["key"].to_numpy()
+        tag = t["tag"].to_numpy()
+        u, inv = np.unique(kk, return_inverse=True)
+        m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(m, inv, t["lab"].to_numpy())
+        old = np.zeros(len(u), dtype=np.int64)
+        st = tag == 1
+        old[inv[st]] = t["lab"].to_numpy()[st]
+        return pa.table(
+            {"key": u, "lab": m, "changed": (m < old).astype(np.int64)}
+        )
+
+    for _ in range(max_rounds):
+        tagged = dir_edges.union(
+            state.map_batches(tag_state, batch_format="pyarrow")
+        )
+        pushes = hash_grouped(tagged, ["key"], sort=False).map_batches(
+            push_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
+        state = (
+            hash_grouped(
+                pushes.union(
+                    state.map_batches(tag_state_p, batch_format="pyarrow")
+                ),
+                ["key"],
+                sort=False,
+            )
+            .map_batches(
+                apply_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+            )
+            .materialize()
+        )
+
+        def changed_part(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "changed" not in t.column_names:
+                return pa.table({"c": pa.array([0], pa.int64())})
+            return pa.table(
+                {"c": pa.array([int(pc.sum(t["changed"]).as_py() or 0)], pa.int64())}
+            )
+
+        n_changed = int(
+            state.map_batches(changed_part, batch_format="pyarrow")
+            .to_pandas()["c"]
+            .sum()
+        )
+        if n_changed == 0:
+            out = state.to_pandas().sort_values("key")
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["key"].to_numpy(), pa.int64()),
+                    "component": pa.array(out["lab"].to_numpy(), pa.int64()),
+                }
+            )
+    raise UnconvergedComponentsError(
+        f"no fixpoint after {max_rounds} rounds — component diameter "
+        f"exceeds max_rounds; raise max_rounds for chain-like graphs"
+    )
+
+
 def khop_distances(
     edges_ds: ray.data.Dataset,
     seeds: np.ndarray,
@@ -167,6 +381,8 @@ def khop_distances(
     src_col: str = "subj",
     dst_col: str = "obj",
     k: int = 4,
+    fold_edges: int = FOLD_EDGES,
+    max_driver_nodes: int = MAX_DRIVER_NODES,
 ) -> pa.Table:
     """Exact BFS hop distance (capped at ``k``) from a seed node set over
     a directed string-node edge dataset — BSP frontier expansion, the
@@ -180,20 +396,18 @@ def khop_distances(
 
     Returns (node, dist) for reached nodes only, dist in [0, k]."""
     edges = edges_ds.select_columns([src_col, dst_col]).materialize()
-
-    def emit_nodes(t: pa.Table) -> pa.Table:
-        a = t[src_col].to_numpy(zero_copy_only=False)
-        b = t[dst_col].to_numpy(zero_copy_only=False)
-        return pa.table({"node": np.unique(np.concatenate([a, b]))})
-
-    node_list = sorted(
-        edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
-        or []
-    )
     out_schema = pa.schema([("node", pa.string()), ("dist", pa.int64())])
-    if not node_list:
+    n_edges = edges.count()
+    if n_edges == 0:
         return out_schema.empty_table()
-    nodes = np.array(node_list)  # unicode dtype → searchsorted in C
+    fold = n_edges <= fold_edges
+    if not fold and 2 * n_edges > max_driver_nodes:
+        if _distinct_node_count(edges, src_col, dst_col) > max_driver_nodes:
+            return _khop_dataset(
+                edges, seeds, src_col=src_col, dst_col=dst_col, k=k
+            )
+
+    nodes = _nodes_driver(edges, src_col, dst_col, fold=fold)
     nodes_ref = ray.put(nodes)
     n = len(nodes)
 
@@ -220,13 +434,16 @@ def khop_distances(
             )[hit]
             return pa.table({"i": np.unique(did).astype(np.int64)})
 
-        # a dead-end frontier (no out-edges) yields an EMPTY dataset,
-        # whose unique() comes back None — guard rather than iterate it
-        reached = (
-            edges.map_batches(expand, batch_format="pyarrow").unique("i")
-            or []
-        )
-        new = np.array(sorted(reached), dtype=np.int64)
+        expanded = edges.map_batches(expand, batch_format="pyarrow")
+        if fold:
+            # per-block distinct dst ids fold on the driver — no exchange
+            df = expanded.to_pandas()
+            new = np.unique(df["i"].to_numpy()) if len(df) else np.array([], np.int64)
+        else:
+            # a dead-end frontier (no out-edges) yields an EMPTY dataset,
+            # whose unique() comes back None — guard rather than iterate it
+            reached = expanded.unique("i") or []
+            new = np.array(sorted(reached), dtype=np.int64)
         if len(new):
             fresh = new[dist[new] < 0]
             dist[fresh] = r + 1
@@ -240,6 +457,157 @@ def khop_distances(
     )
 
 
+def _khop_dataset(
+    edges: ray.data.Dataset,
+    seeds: np.ndarray,
+    *,
+    src_col: str,
+    dst_col: str,
+    k: int,
+) -> pa.Table:
+    """Dataset-resident BFS state: (node, dist) rows for REACHED nodes
+    only (frontier-scale, not graph-scale — the natural sparse layout).
+    Each round: (1) tag-union the frontier into edges on the source key,
+    grouped blocks emit the distinct destinations of frontier sources;
+    (2) tag-union those candidates into the state on the node key, a
+    grouped min keeps first-reach distances. Early-exit when a round
+    reaches nothing new (state row count stops growing — distances never
+    change once set, so the count delta IS the frontier size)."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    _ST = pa.schema([("key", pa.string()), ("dist", pa.int64())])
+    _EX = pa.schema(
+        [("key", pa.string()), ("dst", pa.string()), ("tag", pa.int8())]
+    )
+
+    # Seeds outside the graph must not surface in the output (the driver
+    # path filters them via the node vector). The seed list is bounded
+    # (caller-supplied, frontier-zero scale), so membership is ONE
+    # broadcast streaming pass — no exchange.
+    seed_arr = np.unique(np.asarray(seeds, dtype=np.str_))
+    seeds_ref = ray.put(seed_arr)
+
+    def seen_seeds(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("s", pa.string())]).empty_table()
+        sd = ray.get(seeds_ref)
+        both = np.unique(
+            np.concatenate(
+                [
+                    t[src_col].to_numpy(zero_copy_only=False),
+                    t[dst_col].to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.str_)
+        )
+        return pa.table({"s": sd[np.isin(sd, both)].tolist()})
+
+    seen = edges.map_batches(seen_seeds, batch_format="pyarrow").to_pandas()
+    live_seeds = (
+        np.unique(seen["s"].to_numpy().astype(np.str_))
+        if len(seen)
+        else np.array([], dtype=np.str_)
+    )
+    if not len(live_seeds):
+        return pa.schema(
+            [("node", pa.string()), ("dist", pa.int64())]
+        ).empty_table()
+
+    state = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(live_seeds.tolist(), pa.string()),
+                "dist": pa.array(np.zeros(len(live_seeds), np.int64)),
+            }
+        )
+    ).materialize()
+    n_state = state.count()
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EX.empty_table()
+        return pa.table(
+            {
+                "key": t[src_col],
+                "dst": t[dst_col],
+                "tag": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        ).cast(_EX)
+
+    for r in range(k):
+        rr = r
+
+        def tag_frontier(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "key" not in t.column_names:
+                return _EX.empty_table()
+            t = t.filter(pa.compute.equal(t["dist"], rr))
+            if t.num_rows == 0:
+                return _EX.empty_table()
+            return pa.table(
+                {
+                    "key": t["key"],
+                    "dst": pa.array([""] * t.num_rows, pa.string()),
+                    "tag": pa.array(np.ones(t.num_rows, np.int8)),
+                }
+            ).cast(_EX)
+
+        def expand_kernel(t: pa.Table) -> pa.Table:
+            out = pa.schema([("key", pa.string()), ("dist", pa.int64())])
+            if t.num_rows == 0 or "key" not in t.column_names:
+                return out.empty_table()
+            kk = t["key"].to_numpy(zero_copy_only=False)
+            tag = t["tag"].to_numpy()
+            u, inv = np.unique(kk, return_inverse=True)
+            in_frontier = np.zeros(len(u), dtype=bool)
+            in_frontier[inv[tag == 1]] = True
+            em = (tag == 0) & in_frontier[inv]
+            if not em.any():
+                return out.empty_table()
+            dsts = np.unique(t["dst"].to_numpy(zero_copy_only=False)[em])
+            return pa.table(
+                {
+                    "key": pa.array(dsts.tolist(), pa.string()),
+                    "dist": pa.array(np.full(len(dsts), rr + 1, np.int64)),
+                }
+            )
+
+        def min_kernel(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "key" not in t.column_names:
+                return _ST.empty_table()
+            kk = t["key"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(kk, return_inverse=True)
+            d = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(d, inv, t["dist"].to_numpy())
+            return pa.table(
+                {"key": pa.array(u.tolist(), pa.string()), "dist": d}
+            )
+
+        tagged = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+            state.map_batches(tag_frontier, batch_format="pyarrow")
+        )
+        candidates = hash_grouped(tagged, ["key"], sort=False).map_batches(
+            expand_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
+        state = (
+            hash_grouped(candidates.union(state), ["key"], sort=False)
+            .map_batches(
+                min_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+            )
+            .materialize()
+        )
+        n_new = state.count()
+        if n_new == n_state:
+            break
+        n_state = n_new
+
+    out = state.to_pandas().sort_values("key")
+    return pa.table(
+        {
+            "node": pa.array(out["key"].tolist(), pa.string()),
+            "dist": pa.array(out["dist"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def kcore_peel(
     edges_ds: ray.data.Dataset,
     *,
@@ -247,6 +615,8 @@ def kcore_peel(
     dst_col: str = "obj",
     k: int = 3,
     rounds: int = 6,
+    fold_edges: int = FOLD_EDGES,
+    max_driver_nodes: int = MAX_DRIVER_NODES,
 ) -> pa.Table:
     """Bounded-round k-core peeling over the undirected simple
     projection of a string-node edge dataset: each round removes every
@@ -267,21 +637,54 @@ def kcore_peel(
     from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
 
     edges = edges_ds.select_columns([src_col, dst_col]).materialize()
-
-    def emit_nodes(t: pa.Table) -> pa.Table:
-        a = t[src_col].to_numpy(zero_copy_only=False)
-        b = t[dst_col].to_numpy(zero_copy_only=False)
-        return pa.table({"node": np.unique(np.concatenate([a, b]))})
-
-    node_list = sorted(
-        edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
-        or []
-    )
-    if not node_list:
+    n_edges = edges.count()
+    if n_edges == 0:
         return pa.table({"node": pa.array([], pa.string())})
-    nodes = np.array(node_list)
+    fold = n_edges <= fold_edges
+    if not fold and 2 * n_edges > max_driver_nodes:
+        if _distinct_node_count(edges, src_col, dst_col) > max_driver_nodes:
+            return _kcore_dataset(
+                edges, src_col=src_col, dst_col=dst_col, k=k, rounds=rounds
+            )
+
+    nodes = _nodes_driver(edges, src_col, dst_col, fold=fold)
+    if not len(nodes):
+        return pa.table({"node": pa.array([], pa.string())})
     n = len(nodes)
     nodes_ref = ray.put(nodes)
+
+    if fold:
+        # Bounded edge set: collapse parallel edges and run every peel
+        # round driver-local (np.add.at degree folds) — the per-round
+        # exchange costs seconds of fixed overhead that dominate utterly
+        # at this size, and the result is definitionally identical.
+        def pack_fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema([("pk", pa.int64())]).empty_table()
+            nd = ray.get(nodes_ref)
+            a = np.searchsorted(nd, t[src_col].to_numpy(zero_copy_only=False))
+            b = np.searchsorted(nd, t[dst_col].to_numpy(zero_copy_only=False))
+            keep = a != b
+            a, b = a[keep], b[keep]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pa.table({"pk": np.unique(lo * n + hi)})
+
+        df = edges.map_batches(pack_fold, batch_format="pyarrow").to_pandas()
+        pk = np.unique(df["pk"].to_numpy()) if len(df) else np.array([], np.int64)
+        a, b = pk // n, pk % n
+        alive = np.ones(n, dtype=bool)
+        for _ in range(rounds):
+            keep = alive[a] & alive[b]
+            deg = np.zeros(n, dtype=np.int64)
+            np.add.at(deg, a[keep], 1)
+            np.add.at(deg, b[keep], 1)
+            new_alive = alive & (deg >= k)
+            if np.array_equal(new_alive, alive):
+                break
+            alive = new_alive
+        return pa.table(
+            {"node": pa.array(nodes[np.flatnonzero(alive)].tolist(), pa.string())}
+        )
 
     _PK = pa.schema([("pk", pa.int64())])
 
@@ -345,6 +748,265 @@ def kcore_peel(
     )
 
 
+def _kcore_dataset(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    rounds: int,
+) -> pa.Table:
+    """Dataset-resident alive set: no node-scale driver state. Setup is
+    one (a, b)-keyed exchange collapsing parallel edges into the distinct
+    undirected edge set. Each round then runs three exchanges: semi-join
+    the alive set into edges on endpoint *a*, re-key survivors on *b* and
+    semi-join again (edges with BOTH endpoints alive), fold per-endpoint
+    degree partials back into the alive set and keep nodes with degree ≥
+    k. The alive set shrinks monotonically, so a stable row count IS the
+    fixpoint — an O(1) convergence check with no extra pass."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    _E = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def to_und(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _E.empty_table()
+        a = t[src_col].to_numpy(zero_copy_only=False).astype(np.str_)
+        b = t[dst_col].to_numpy(zero_copy_only=False).astype(np.str_)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        swap = a > b  # np.minimum has no unicode loop; where() does
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        # block-local collapse before the exchange (row-wise unique)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table(
+            {"a": pa.array(u[:, 0].tolist(), pa.string()),
+             "b": pa.array(u[:, 1].tolist(), pa.string())}
+        )
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _E.empty_table()
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.str_)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.str_)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table(
+            {"a": pa.array(u[:, 0].tolist(), pa.string()),
+             "b": pa.array(u[:, 1].tolist(), pa.string())}
+        )
+
+    und = (
+        hash_grouped(
+            edges.map_batches(to_und, batch_format="pyarrow"),
+            ["a", "b"],
+            sort=False,
+        )
+        .map_batches(dedup_pairs, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
+        .materialize()
+    )
+
+    _J = pa.schema(
+        [("key", pa.string()), ("other", pa.string()), ("tag", pa.int8())]
+    )
+
+    def tag_und(col_key: str, col_other: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or col_key not in t.column_names:
+                return _J.empty_table()
+            return pa.table(
+                {
+                    "key": t[col_key],
+                    "other": t[col_other],
+                    "tag": pa.array(np.zeros(t.num_rows, np.int8)),
+                }
+            ).cast(_J)
+
+        return fn
+
+    def tag_alive(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _J.empty_table()
+        return pa.table(
+            {
+                "key": t["node"],
+                "other": pa.array([""] * t.num_rows, pa.string()),
+                "tag": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        ).cast(_J)
+
+    def semijoin_kernel(t: pa.Table) -> pa.Table:
+        """Keep (key, other) edge rows whose key-group has an alive row,
+        re-keyed on `other` for the next hop."""
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _J.empty_table()
+        kk = t["key"].to_numpy(zero_copy_only=False)
+        tag = t["tag"].to_numpy()
+        u, inv = np.unique(kk, return_inverse=True)
+        ok = np.zeros(len(u), dtype=bool)
+        ok[inv[tag == 1]] = True
+        em = (tag == 0) & ok[inv]
+        if not em.any():
+            return _J.empty_table()
+        return pa.table(
+            {
+                "key": t["other"].filter(pa.array(em)),
+                "other": t["key"].filter(pa.array(em)),
+                "tag": pa.array(np.zeros(int(em.sum()), np.int8)),
+            }
+        ).cast(_J)
+
+    _A = pa.schema([("node", pa.string())])
+
+    def degree_keep_kernel(t: pa.Table) -> pa.Table:
+        """Grouped on node: count surviving-edge rows per node (each
+        both-alive edge appears once keyed by each endpoint across the
+        two semi-join hops' output), keep alive nodes with count ≥ k."""
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _A.empty_table()
+        kk = t["key"].to_numpy(zero_copy_only=False)
+        tag = t["tag"].to_numpy()
+        u, inv = np.unique(kk, return_inverse=True)
+        deg = np.zeros(len(u), dtype=np.int64)
+        np.add.at(deg, inv[tag == 0], 1)
+        alive_here = np.zeros(len(u), dtype=bool)
+        alive_here[inv[tag == 1]] = True
+        keep = alive_here & (deg >= k)
+        return pa.table({"node": pa.array(u[keep].tolist(), pa.string())})
+
+    # alive0 = all endpoint nodes of the undirected edge set
+    def und_nodes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _A.empty_table()
+        u = np.unique(
+            np.concatenate(
+                [
+                    t["a"].to_numpy(zero_copy_only=False),
+                    t["b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(u.tolist(), pa.string())})
+
+    def dedup_nodes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _A.empty_table()
+        u = np.unique(t["node"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u.tolist(), pa.string())})
+
+    alive = (
+        hash_grouped(
+            und.map_batches(und_nodes, batch_format="pyarrow"),
+            ["node"],
+            sort=False,
+        )
+        .map_batches(dedup_nodes, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
+        .materialize()
+    )
+    n_alive = alive.count()
+
+    for _ in range(rounds):
+        # hop 1: edges keyed on a, semi-join alive → survivors keyed on b
+        hop1_in = und.map_batches(tag_und("a", "b"), batch_format="pyarrow").union(
+            alive.map_batches(tag_alive, batch_format="pyarrow")
+        )
+        hop1 = hash_grouped(hop1_in, ["key"], sort=False).map_batches(
+            semijoin_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
+        # hop 2: survivors now keyed on b, semi-join alive again; output
+        # re-keys back on a — plus we need each both-alive edge counted at
+        # BOTH endpoints, which the union of hop2 output (keyed a) and a
+        # b-keyed copy provides.
+        hop2_in = hop1.union(alive.map_batches(tag_alive, batch_format="pyarrow"))
+        both = hash_grouped(hop2_in, ["key"], sort=False).map_batches(
+            semijoin_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
+
+        # both: rows (key=a, other=b) for both-alive edges. Emit each edge
+        # at both endpoints for the degree fold.
+        def both_ends(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "key" not in t.column_names:
+                return _J.empty_table()
+            n = t.num_rows
+            return pa.table(
+                {
+                    "key": pa.concat_arrays(
+                        [t["key"].combine_chunks(), t["other"].combine_chunks()]
+                    ),
+                    "other": pa.array([""] * (2 * n), pa.string()),
+                    "tag": pa.array(np.zeros(2 * n, np.int8)),
+                }
+            ).cast(_J)
+
+        deg_in = both.map_batches(both_ends, batch_format="pyarrow").union(
+            alive.map_batches(tag_alive, batch_format="pyarrow")
+        )
+        alive = (
+            hash_grouped(deg_in, ["key"], sort=False)
+            .map_batches(
+                degree_keep_kernel,
+                batch_size=None,
+                batch_format="pyarrow",
+                **NO_FUSE_ARGS,
+            )
+            .materialize()
+        )
+        n_new = alive.count()
+        if n_new == n_alive:
+            break  # monotone shrink: equal count ⇒ equal set ⇒ fixpoint
+        n_alive = n_new
+
+    out = alive.to_pandas().sort_values("node")
+    return pa.table({"node": pa.array(out["node"].tolist(), pa.string())})
+
+
+def _nodes_driver(edges, src_col, dst_col, *, fold: bool) -> np.ndarray:
+    """Sorted unicode node vector of an edge Dataset. ``fold=True`` skips
+    the distinct exchange: per-block uniques (≤ block rows) come to the
+    driver and one np.unique folds them."""
+
+    def emit_nodes(t: pa.Table) -> pa.Table:
+        a = t[src_col].to_numpy(zero_copy_only=False)
+        b = t[dst_col].to_numpy(zero_copy_only=False)
+        return pa.table({"node": np.unique(np.concatenate([a, b]))})
+
+    per_block = edges.map_batches(emit_nodes, batch_format="pyarrow")
+    if fold:
+        df = per_block.to_pandas()
+        if not len(df):
+            return np.array([], dtype=np.str_)
+        return np.unique(df["node"].to_numpy().astype(np.str_))
+    node_list = sorted(per_block.unique("node") or [])
+    return np.array(node_list)  # unicode dtype → searchsorted in C
+
+
+def _fold_sum(parts: "ray.data.Dataset", n: int, idx="i", val="c") -> np.ndarray:
+    """Driver fold of per-block (index, count) partials — total partial
+    volume is ≤ the edge count (each block emits ≤ its rows), which the
+    fold regime has already bounded."""
+    df = parts.to_pandas()
+    out = np.zeros(n, dtype=np.int64)
+    if len(df):
+        np.add.at(out, df[idx].to_numpy(), df[val].to_numpy())
+    return out
+
+
+def _distinct_node_count(edges, src_col, dst_col) -> int:
+    def emit_nodes(t: pa.Table) -> pa.Table:
+        a = t[src_col].to_numpy(zero_copy_only=False)
+        b = t[dst_col].to_numpy(zero_copy_only=False)
+        return pa.table({"node": np.unique(np.concatenate([a, b]))})
+
+    from ray.data.aggregate import Count
+
+    return (
+        edges.map_batches(emit_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count())
+        .count()
+    )
+
+
 def pagerank_int(
     edges_ds: ray.data.Dataset,
     *,
@@ -353,6 +1015,8 @@ def pagerank_int(
     iterations: int = 10,
     scale: int = 10**9,
     damping_pct: int = 85,
+    fold_edges: int = FOLD_EDGES,
+    max_driver_nodes: int = MAX_DRIVER_NODES,
 ) -> pa.Table:
     """Fixed-iteration PageRank over a directed MULTIGRAPH of string
     nodes (every edge row contributes — parallel edges weight the link),
@@ -379,21 +1043,24 @@ def pagerank_int(
     from ray.data.aggregate import Sum
 
     edges = edges_ds.select_columns([src_col, dst_col]).materialize()
-
-    def emit_nodes(t: pa.Table) -> pa.Table:
-        a = t[src_col].to_numpy(zero_copy_only=False)
-        b = t[dst_col].to_numpy(zero_copy_only=False)
-        return pa.table({"node": np.unique(np.concatenate([a, b]))})
-
-    node_list = sorted(
-        edges.map_batches(emit_nodes, batch_format="pyarrow").unique("node")
-        or []
-    )
-    if not node_list:
+    n_edges = edges.count()
+    if n_edges == 0:
         return pa.table(
             {"node": pa.array([], pa.string()), "pr": pa.array([], pa.int64())}
         )
-    nodes = np.array(node_list)  # unicode dtype → searchsorted in C
+    fold = n_edges <= fold_edges
+    if not fold and 2 * n_edges > max_driver_nodes:
+        if _distinct_node_count(edges, src_col, dst_col) > max_driver_nodes:
+            return _pagerank_dataset(
+                edges,
+                src_col=src_col,
+                dst_col=dst_col,
+                iterations=iterations,
+                scale=scale,
+                damping_pct=damping_pct,
+            )
+
+    nodes = _nodes_driver(edges, src_col, dst_col, fold=fold)
     n = len(nodes)
     nodes_ref = ray.put(nodes)
 
@@ -405,14 +1072,13 @@ def pagerank_int(
         u, c = np.unique(sid, return_counts=True)
         return pa.table({"i": u.astype(np.int64), "c": c.astype(np.int64)})
 
-    degp = (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("i")
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-    )
-    odeg = np.zeros(n, dtype=np.int64)
-    odeg[degp["i"].to_numpy()] = degp["c"].to_numpy()
+    degs = edges.map_batches(deg_partial, batch_format="pyarrow")
+    if fold:
+        odeg = _fold_sum(degs, n)
+    else:
+        degp = degs.groupby("i").aggregate(Sum("c", alias_name="c")).to_pandas()
+        odeg = np.zeros(n, dtype=np.int64)
+        odeg[degp["i"].to_numpy()] = degp["c"].to_numpy()
     odeg_ref = ray.put(odeg)
 
     base = (100 - damping_pct) * scale // 100
@@ -436,17 +1102,224 @@ def pagerank_int(
             np.add.at(part, inv, contrib)
             return pa.table({"i": u.astype(np.int64), "c": part})
 
-        sp = (
-            edges.map_batches(push, batch_format="pyarrow")
-            .groupby("i")
-            .aggregate(Sum("c", alias_name="c"))
-            .to_pandas()
-        )
-        sums = np.zeros(n, dtype=np.int64)
-        if len(sp):
-            sums[sp["i"].to_numpy()] = sp["c"].to_numpy()
+        pushed = edges.map_batches(push, batch_format="pyarrow")
+        if fold:
+            sums = _fold_sum(pushed, n)
+        else:
+            sp = pushed.groupby("i").aggregate(Sum("c", alias_name="c")).to_pandas()
+            sums = np.zeros(n, dtype=np.int64)
+            if len(sp):
+                sums[sp["i"].to_numpy()] = sp["c"].to_numpy()
         pr = base + damping_pct * sums // 100
 
     return pa.table(
         {"node": pa.array(nodes.tolist(), pa.string()), "pr": pa.array(pr)}
+    )
+
+
+def _pagerank_dataset(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str,
+    dst_col: str,
+    iterations: int,
+    scale: int,
+    damping_pct: int,
+) -> pa.Table:
+    """Dataset-resident ranks: no node-scale driver state. Each round is
+    two tag-union hash exchanges — (1) PUSH: state joins edges on the
+    source key, every edge row emits ``pr[src] // od[src]`` to its dst;
+    (2) APPLY: contribution partials join state on the node key, a
+    grouped fold computes ``base + d·Σ // 100`` and carries the static
+    out-degree forward. State materializes per round (node-scale blocks
+    in the object store, never on the driver). Returns the final state
+    as a pa.Table ONLY because every current caller is a registered
+    query whose result the driver collects anyway — at true 10⁹-node
+    scale the caller would keep the Dataset and write it out."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, conform, hash_grouped
+
+    _ST = pa.schema(
+        [("key", pa.string()), ("pr", pa.int64()), ("od", pa.int64())]
+    )
+    _MSG = pa.schema(
+        [("key", pa.string()), ("dst", pa.string()), ("pr", pa.int64()),
+         ("od", pa.int64()), ("tag", pa.int8())]
+    )
+
+    # state0: every node, pr = scale, od = out-degree (0 for sinks) — one
+    # grouped exchange over per-block degree partials.
+    def deg_parts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("key", pa.string()), ("od", pa.int64())]).empty_table()
+        s = t[src_col].to_numpy(zero_copy_only=False)
+        d = t[dst_col].to_numpy(zero_copy_only=False)
+        us, cs = np.unique(s, return_counts=True)
+        ud = np.unique(d)
+        return pa.table(
+            {
+                "key": pa.array(
+                    np.concatenate([us, ud]).tolist(), pa.string()
+                ),
+                "od": np.concatenate([cs, np.zeros(len(ud), np.int64)]),
+            }
+        )
+
+    def fold_state0(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _ST.empty_table()
+        k = t["key"].to_numpy(zero_copy_only=False)
+        od = t["od"].to_numpy()
+        u, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, od)
+        return pa.table(
+            {
+                "key": pa.array(u.tolist(), pa.string()),
+                "pr": np.full(len(u), scale, dtype=np.int64),
+                "od": s,
+            }
+        )
+
+    state = (
+        hash_grouped(
+            edges.map_batches(deg_parts, batch_format="pyarrow"),
+            ["key"],
+            sort=False,
+        )
+        .map_batches(fold_state0, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
+        .materialize()
+    )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _MSG.empty_table()
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t[src_col],
+                "dst": t[dst_col],
+                "pr": pa.array(np.zeros(n, np.int64)),
+                "od": pa.array(np.zeros(n, np.int64)),
+                "tag": pa.array(np.zeros(n, np.int8)),
+            }
+        ).cast(_MSG)
+
+    def tag_state(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _MSG.empty_table()
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["key"],
+                "dst": pa.array([""] * n, pa.string()),
+                "pr": t["pr"],
+                "od": t["od"],
+                "tag": pa.array(np.ones(n, np.int8)),
+            }
+        ).cast(_MSG)
+
+    base = (100 - damping_pct) * scale // 100
+
+    def push_kernel(t: pa.Table) -> pa.Table:
+        """Grouped block: per key, the tag=1 row carries (pr, od); every
+        tag=0 edge row emits pr//od to its dst, folded block-locally."""
+        out_schema = pa.schema([("key", pa.string()), ("c", pa.int64())])
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return out_schema.empty_table()
+        k = t["key"].to_numpy(zero_copy_only=False)
+        tag = t["tag"].to_numpy()
+        u, inv = np.unique(k, return_inverse=True)
+        st = tag == 1
+        pr_g = np.zeros(len(u), dtype=np.int64)
+        od_g = np.ones(len(u), dtype=np.int64)
+        pr_g[inv[st]] = t["pr"].to_numpy()[st]
+        od_g[inv[st]] = np.maximum(t["od"].to_numpy()[st], 1)
+        em = ~st
+        if not em.any():
+            return out_schema.empty_table()
+        contrib = pr_g[inv[em]] // od_g[inv[em]]
+        dst = t["dst"].to_numpy(zero_copy_only=False)[em]
+        ud, dinv = np.unique(dst, return_inverse=True)
+        part = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(part, dinv, contrib)
+        return pa.table(
+            {"key": pa.array(ud.tolist(), pa.string()), "c": part}
+        )
+
+    _AP = pa.schema(
+        [("key", pa.string()), ("c", pa.int64()), ("pr", pa.int64()),
+         ("od", pa.int64()), ("tag", pa.int8())]
+    )
+
+    def tag_contrib(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _AP.empty_table()
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["key"],
+                "c": t["c"],
+                "pr": pa.array(np.zeros(n, np.int64)),
+                "od": pa.array(np.zeros(n, np.int64)),
+                "tag": pa.array(np.zeros(n, np.int8)),
+            }
+        ).cast(_AP)
+
+    def tag_state2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _AP.empty_table()
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["key"],
+                "c": pa.array(np.zeros(n, np.int64)),
+                "pr": t["pr"],
+                "od": t["od"],
+                "tag": pa.array(np.ones(n, np.int8)),
+            }
+        ).cast(_AP)
+
+    def apply_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _ST.empty_table()
+        k = t["key"].to_numpy(zero_copy_only=False)
+        tag = t["tag"].to_numpy()
+        u, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, t["c"].to_numpy())
+        st = tag == 1
+        od_g = np.zeros(len(u), dtype=np.int64)
+        od_g[inv[st]] = t["od"].to_numpy()[st]
+        return pa.table(
+            {
+                "key": pa.array(u.tolist(), pa.string()),
+                "pr": base + damping_pct * s // 100,
+                "od": od_g,
+            }
+        )
+
+    for _ in range(iterations):
+        tagged = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+            state.map_batches(tag_state, batch_format="pyarrow")
+        )
+        contribs = hash_grouped(tagged, ["key"], sort=False).map_batches(
+            push_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
+        applied = contribs.map_batches(tag_contrib, batch_format="pyarrow").union(
+            state.map_batches(tag_state2, batch_format="pyarrow")
+        )
+        state = (
+            hash_grouped(applied, ["key"], sort=False)
+            .map_batches(
+                apply_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+            )
+            .materialize()
+        )
+
+    out = state.to_pandas()
+    return pa.table(
+        {
+            "node": pa.array(out["key"].tolist(), pa.string()),
+            "pr": pa.array(out["pr"].to_numpy(), pa.int64()),
+        }
     )
