@@ -290,8 +290,9 @@ alive{r} AS MATERIALIZED (SELECT node FROM deg{r} WHERE c >= {_KCORE_K})""")
     )
 
     khop_cte = [
-        f"canon AS ({canon})",
-        "edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM canon)",
+        f"canon AS MATERIALIZED ({canon})",
+        "edges AS MATERIALIZED"
+        " (SELECT DISTINCT subj AS src, obj AS dst FROM canon)",
         f"seeds AS (SELECT DISTINCT src AS node FROM edges"
         f" ORDER BY node LIMIT {_KHOP_SEEDS})",
         "d0 AS (SELECT node, 0 AS dist FROM seeds)",

@@ -217,11 +217,17 @@ def _late_oracles3():
     canon = K.triples_canonical_sql(_rules())
     scale, d, iters = 10**9, 85, 10
     base = (100 - d) * scale // 100
+    # MATERIALIZED is load-bearing: edges/nodes/odeg are each referenced
+    # in every one of the {iters} unrolled iterations — plain CTEs
+    # re-evaluate per reference, re-running the whole canonicalization
+    # subquery 3×{iters} times.
     cte = [
-        f"canon AS ({canon})",
-        "edges AS (SELECT subj AS src, obj AS dst FROM canon)",
-        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
-        "odeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f"canon AS MATERIALIZED ({canon})",
+        "edges AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM canon)",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "odeg AS MATERIALIZED"
+        " (SELECT src, count(*) AS od FROM edges GROUP BY src)",
         f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes)",
     ]
     for r in range(1, iters + 1):

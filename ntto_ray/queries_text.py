@@ -43,16 +43,27 @@ def dedup_exact_keys(sf_dir: str):
 
 @register(
     "dedup_exact_fulltext",
-    oracle="""
-SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS doc_id,
-       CAST(count(*) AS BIGINT) AS dups
-FROM documents GROUP BY 1
-""",
+    oracle=None,  # filled below — needs the poly-hash SQL mirror
 )
 def dedup_exact_fulltext(sf_dir: str):
     from ntto_ray.stages.dedup import exact_dedup_fulltext
 
     return exact_dedup_fulltext(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _exact_fulltext_oracle() -> str:
+    from ntto_ray.registry import _ORACLES
+    from ntto_ray.stages.dedup import poly_content_hash_sql
+
+    _ORACLES["dedup_exact_fulltext"] = f"""
+WITH ph AS ({poly_content_hash_sql()})
+SELECT h1, h2, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS dups
+FROM ph GROUP BY 1, 2
+"""
+
+
+_exact_fulltext_oracle()
 
 
 _JACCARD_SQL = """
@@ -307,8 +318,8 @@ def dedup_simhash_pairs(sf_dir: str):
 
 
 _CC_SQL = f"""
-WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL})),
-edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+WITH RECURSIVE pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_JACCARD_SQL})),
+edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach AS (
   SELECT a, b FROM edges

@@ -468,7 +468,7 @@ WITH RECURSIVE g AS (
          len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop
   FROM documents
 ),
-f AS (
+f AS MATERIALIZED (
   SELECT doc_id, text, n_tokens,
          (100 * (n_tokens - n_stop)) // greatest(n_tokens, 1) AS quality_pct
   FROM g
@@ -476,14 +476,16 @@ f AS (
     AND (100 * (n_tokens - n_stop)) // greatest(n_tokens, 1) >= {_CLEAN_MIN_QUALITY}
     AND n_tokens >= {_CLEAN_MIN_TOKENS}
 ),
-d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM f),
-p AS (
+d AS MATERIALIZED (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM f
+),
+p AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM d a JOIN d b ON a.doc_id < b.doc_id
   WHERE len(list_intersect(a.toks, b.toks)) * 100
         >= 90 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
 ),
-edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p
           UNION SELECT doc_b, doc_a FROM p),
 reach AS (
   SELECT a, b FROM edges
@@ -845,7 +847,7 @@ def _curate_oracle() -> str:
 
     return f"""
 WITH surv AS MATERIALIZED (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 ),
 d AS MATERIALIZED (
   SELECT doc_id, source, len(string_split(text, ' ')) AS ntok
@@ -882,37 +884,38 @@ def corpus_curate_pipeline(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "source", "text"])
 
-    _H = pa.schema([("h", pa.string()), ("doc_id", pa.int64())])
+    _H = pa.schema(
+        [("h1", pa.int64()), ("h2", pa.int64()), ("doc_id", pa.int64())]
+    )
 
     def hashes(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _H.empty_table()
-        import hashlib
+        from ntto_ray.stages.dedup import poly_content_hashes
 
-        hs = [
-            hashlib.md5(s.encode()).hexdigest()
-            for s in t["text"].to_pylist()
-        ]
-        return pa.table({"h": pa.array(hs, pa.string()), "doc_id": t["doc_id"]})
+        h1, h2 = poly_content_hashes(t["text"])
+        return pa.table(
+            {"h1": pa.array(h1), "h2": pa.array(h2), "doc_id": t["doc_id"]}
+        )
 
     _D = pa.schema([("doc_id", pa.int64())])
 
     def non_min(t: pa.Table) -> pa.Table:
-        """Block holds whole md5 groups (hash-partitioned): every id
-        except each group's min is a drop."""
-        if t.num_rows == 0 or "h" not in t.column_names:
+        """Block holds whole content-hash groups (hash-partitioned):
+        every id except each group's min is a drop."""
+        if t.num_rows == 0 or "h1" not in t.column_names:
             return _D.empty_table()
-        h = t["h"].to_numpy(zero_copy_only=False)
+        h1 = t["h1"].to_numpy()
+        h2 = t["h2"].to_numpy()
         ids = t["doc_id"].to_numpy()
-        order = np.lexsort((ids, h))
-        h, ids = h[order], ids[order]
-        starts, ends = _runs(h)
-        keep = np.ones(len(ids), dtype=bool)
-        keep[starts] = False  # min id per group survives
+        order = np.lexsort((ids, h2, h1))
+        h1, h2, ids = h1[order], h2[order], ids[order]
+        new_run = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        keep = ~new_run  # min id per (h1, h2) group survives
         return pa.table({"doc_id": ids[keep]})
 
     grouped = hash_grouped(
-        ds.map_batches(hashes, batch_format="pyarrow"), ["h"], sort=False
+        ds.map_batches(hashes, batch_format="pyarrow"), ["h1", "h2"], sort=False
     )
     dropped_ds = grouped.map_batches(
         non_min, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS

@@ -331,3 +331,32 @@ def test_chunking_matches_bruteforce(ray_session, tmp_path):
         for r in got.itertuples()
     )
     assert got_rows == sorted(want)
+
+
+def test_poly_content_hashes_scalar_and_slices():
+    """Vectorized 128-bit polynomial content key vs a scalar reference,
+    including empty strings, duplicates, and sliced (offset) arrays."""
+    import pyarrow as pa
+
+    from ntto_ray.stages.dedup import poly_content_hashes
+
+    texts = ["hello world", "", "a", "hello world", "xy" * 3000]
+    arr = pa.array(texts, pa.string())
+    h1, h2 = poly_content_hashes(arr)
+
+    def ref(s, M):
+        h = 0
+        for k, ch in enumerate(s.encode()):
+            h = (h + ch * pow(M, k, 1 << 64)) % (1 << 64)
+        return h - (1 << 63)
+
+    for i, s in enumerate(texts):
+        assert h1[i] == ref(s, 257)
+        assert h2[i] == ref(s, 263)
+    # duplicates collide, distinct texts don't (on this input)
+    assert h1[0] == h1[3] and h2[0] == h2[3]
+    assert len({(a, b) for a, b in zip(h1, h2)}) == 4
+
+    sl = arr.slice(1, 3)
+    s1, s2 = poly_content_hashes(sl)
+    assert list(s1) == list(h1[1:4]) and list(s2) == list(h2[1:4])
