@@ -162,6 +162,7 @@ def build_graph(
     *,
     fused: bool = False,
     keep_bucket: bool = False,
+    est_triples: int | None = None,
 ) -> ray.data.Dataset:
     """transcripts → canonical triples (subj, pred, obj, cnt). Lazy.
 
@@ -175,7 +176,11 @@ def build_graph(
         abbrev = extract_abbrev_fused(transcripts, cfg)
     else:
         abbrev = abbreviate(extract_triples(transcripts, cfg), cfg)
-    return canonicalize(abbrev, keep_bucket=keep_bucket)
+    from ntto_ray.stages.canonicalize import subj_buckets_for
+
+    return canonicalize(
+        abbrev, keep_bucket=keep_bucket, buckets=subj_buckets_for(est_triples)
+    )
 
 
 # Per-session materialized canonical-KG cache. Nine registered queries
@@ -232,12 +237,28 @@ def run_kg_pipeline(
         return _CANON_CACHE[key]
 
     cfg = cfg or KGConfig()
+    # Cheap input-scale estimate (parquet footer metadata — no Ray
+    # execution) so the canonicalize exchange / adjacency layout widens
+    # with the input instead of pinning at 64 buckets: ~6.6 raw triples
+    # per synthesized turn measured across sf levels, rounded up to 7.
+    est_triples = None
+    try:
+        import pyarrow.parquet as _pq
+
+        n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        est_triples = n_docs * replicate * K.TURNS_PER_CONV * 7
+    except (OSError, ValueError):
+        pass
     if synthesize:
         transcripts = synth_transcripts(sf_dir, replicate=replicate)
     else:
         transcripts = read_transcripts(sf_dir)
     canonical = build_graph(
-        transcripts, cfg, fused=fused, keep_bucket=keep_bucket or write
+        transcripts,
+        cfg,
+        fused=fused,
+        keep_bucket=keep_bucket or write,
+        est_triples=est_triples,
     )
     if key is not None:
         canonical = canonical.materialize()

@@ -12,11 +12,60 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
+
+
+def _topk_reduce(
+    cands: ray.data.Dataset, k: int, *, with_sim: bool = False
+) -> ray.data.Dataset:
+    """Global per-qid top-k over the batch-local candidates: one small
+    qid-keyed exchange (candidate volume is k × nq × nbatches, never
+    corpus-scale) + a vectorized run kernel — the final reduce stays on
+    the Arrow path instead of hopping through pandas map_groups.
+    Ordering matches the SQL mirror's row_number: sim DESC, vec_id ASC."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS
+    from ntto_ray.stages.exchange import hash_grouped as _hash_grouped
+    from ntto_ray.stages.exchange import runs as _runs
+
+    names = ["qid", "vec_id", "rank"] + (["sim"] if with_sim else [])
+    types = {
+        "qid": pa.int64(),
+        "vec_id": pa.int64(),
+        "rank": pa.int64(),
+        "sim": pa.float64(),
+    }
+    schema = pa.schema([(n, types[n]) for n in names])
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "qid" not in t.column_names:
+            return schema.empty_table()
+        qid = t["qid"].to_numpy()
+        vid = t["vec_id"].to_numpy()
+        sim = t["sim"].to_numpy()
+        order = np.lexsort((vid, -sim, qid))
+        qid, vid, sim = qid[order], vid[order], sim[order]
+        starts, ends = _runs(qid)
+        lens = np.minimum(ends - starts, k)
+        within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        )
+        idx = np.repeat(starts, lens) + within
+        cols = {
+            "qid": pa.array(qid[idx]),
+            "vec_id": pa.array(vid[idx]),
+            "rank": pa.array(within + 1),
+            "sim": None if not with_sim else pa.array(sim[idx]),
+        }
+        return pa.Table.from_arrays([cols[n] for n in names], schema=schema)
+
+    # candidates are tiny — a narrow 8-way exchange bounds fixed overhead
+    grouped = _hash_grouped(cands, ["qid"], parallelism=8, sort=False)
+    return grouped.map_batches(
+        kern, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
 
 
 def _emb_matrix(t: pa.Table) -> np.ndarray:
@@ -86,14 +135,7 @@ def brute_force_topk(
         fn_constructor_kwargs={"queries_ref": ref, "k": k},
     )
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        cols = ["qid", "vec_id", "rank"] + (["sim"] if with_sim else [])
-        return g[cols]
-
-    return cands.groupby("qid").map_groups(reduce_group, batch_format="pandas")
+    return _topk_reduce(cands, k, with_sim=with_sim)
 
 
 class HyperplaneLSH:
@@ -179,13 +221,7 @@ def lsh_topk(
         },
     )
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["qid", "vec_id", "rank"]]
-
-    return cands.groupby("qid").map_groups(reduce_group, batch_format="pandas")
+    return _topk_reduce(cands, k)
 
 
 def _kmeans(sample: np.ndarray, k: int, *, iters: int = 10) -> np.ndarray:
@@ -292,13 +328,7 @@ def ivf_topk(
         fn_constructor_kwargs={"ref": ref, "k": k},
     )
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["qid", "vec_id", "rank"]]
-
-    return cands.groupby("qid").map_groups(reduce_group, batch_format="pandas")
+    return _topk_reduce(cands, k)
 
 
 def _kmeans_l2(sample: np.ndarray, k: int, *, iters: int = 6) -> np.ndarray:
@@ -422,13 +452,7 @@ def pq_topk(
         fn_constructor_kwargs={"ref": ref, "k": k},
     )
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["qid", "vec_id", "rank"]]
-
-    return cands.groupby("qid").map_groups(reduce_group, batch_format="pandas")
+    return _topk_reduce(cands, k)
 
 
 def cosine_pairs(

@@ -57,3 +57,24 @@ def test_fused_matches_unfused(ray_session):
     unfused = run_kg_pipeline(SF_SMALL, fused=False).to_pandas()
     cols = ["subj", "pred", "obj", "cnt"]
     pd.testing.assert_frame_equal(_norm(fused, cols), _norm(unfused, cols))
+
+
+def test_bucket_count_scales_and_is_result_invariant(ray_session):
+    """subj_buckets_for derives the exchange width from input scale
+    (floor 64 / ~1M triples per bucket / cap 65536), and the canonical
+    triple set is identical under a forced non-default bucket count."""
+    from ntto_ray.pipelines.kg import build_graph
+    from ntto_ray.sources.transcripts import synth_transcripts
+    from ntto_ray.stages.canonicalize import SUBJ_BUCKETS, subj_buckets_for
+
+    assert subj_buckets_for(None) == SUBJ_BUCKETS
+    assert subj_buckets_for(10_000) == SUBJ_BUCKETS
+    assert subj_buckets_for(500_000_000) == 500
+    assert subj_buckets_for(10**14) == 65536
+
+    cols = ["subj", "pred", "obj", "cnt"]
+    base = build_graph(synth_transcripts(SF_SMALL), fused=True).to_pandas()
+    wide = build_graph(
+        synth_transcripts(SF_SMALL), fused=True, est_triples=150_000_000
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(base, cols), _norm(wide, cols))
