@@ -131,6 +131,9 @@ def run_bench() -> dict:
         "kg_triangles",
         "text_decontaminate",
         "rel_median_histogram",
+        "kg_degree_distribution",
+        "ann_range_search",
+        "sketch_countmin",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)

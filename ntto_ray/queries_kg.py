@@ -313,3 +313,164 @@ FROM r GROUP BY 1, 2
 
 
 _late_oracles4()
+
+
+@register("kg_degree_distribution", oracle=None)  # oracle filled below
+def kg_degree_distribution(sf_dir: str):
+    """Out-degree histogram of the canonical KG — the first plot any
+    graph-quality report draws (power-law check, super-node detection).
+    Plan: cached canonical (keep_bucket) → exact per-subject degrees via
+    the bucket-local partial aggregate (subject_degrees — the exchange
+    only moves subject-scale partials) → per-block histogram partials
+    (np.unique over the degree column) → one tiny groupby(degree) Sum
+    over histogram-scale rows. No data-scale exchange beyond the one
+    canonicalize already paid."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline, subject_degrees
+
+    degs = subject_degrees(
+        run_kg_pipeline(sf_dir, keep_bucket=True), bucketed=True
+    ).select_columns(["degree"])
+
+    _EMPTY = pa.table(
+        {
+            "degree": pa.array([], pa.int64()),
+            "n_subj": pa.array([], pa.int64()),
+        }
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "degree" not in t.column_names:
+            return _EMPTY
+        d, c = np.unique(t["degree"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "degree": pa.array(d.astype(np.int64)),
+                "n_subj": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return (
+        degs.map_batches(hist, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n_subj", alias_name="n_subj"))
+    )
+
+
+def _late_oracles5():
+    from ntto_ray.registry import _ORACLES
+
+    canon = K.triples_canonical_sql(_rules())
+    _ORACLES["kg_degree_distribution"] = f"""
+WITH canon AS MATERIALIZED ({canon}),
+d AS (SELECT subj, count(*) AS degree FROM canon GROUP BY subj)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_subj
+FROM d GROUP BY degree
+""".strip()
+
+
+_late_oracles5()
+
+
+@register("kg_predicate_fanout", oracle=None)  # oracle filled below
+def kg_predicate_fanout(sf_dir: str):
+    """Per-predicate fanout profile: edge count, distinct subjects,
+    distinct objects — the functionality / inverse-functionality signal
+    KG-quality monitors compute per relation. Plan: cached canonical →
+    (a) map-side per-predicate edge counts, merged by a tiny grouped Sum
+    (partials only, no data exchange); (b) block-local distinct
+    (pred, subj) pairs → ONE hash exchange keyed on the PAIR (subj
+    spreads hot predicates, no skew) → block-local exact distinct →
+    per-predicate partial counts → tiny Sum; (c) same for (pred, obj).
+    All three outputs are predicate-vocabulary-scale (result-scale), so
+    the driver-side merge is bounded."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+
+    def edge_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("pred").aggregate([("pred", "count")])
+        return g.rename_columns(["pred", "n"])
+
+    def pair_distinct(col: str):
+        _empty = pa.table(
+            {"pred": pa.array([], pa.string()), col: pa.array([], pa.string())}
+        )
+
+        def inner(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "pred" not in t.column_names:
+                return _empty
+            return t.select(["pred", col]).group_by(["pred", col]).aggregate([])
+
+        return inner
+
+    def pair_count(col: str):
+        _empty = pa.table(
+            {"pred": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+
+        def inner(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "pred" not in t.column_names:
+                return _empty
+            # block holds whole (pred, col) groups → block distinct is
+            # globally distinct
+            d = t.group_by(["pred", col]).aggregate([])
+            g = d.group_by("pred").aggregate([("pred", "count")])
+            return g.rename_columns(["pred", "n"])
+
+        return inner
+
+    def count_by_pred(ds, kernel, exchanged: bool):
+        if exchanged:
+            ds = ds.map_batches(
+                kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+            )
+        else:
+            ds = ds.map_batches(kernel, batch_format="pyarrow")
+        return ds.groupby("pred").aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    edges = count_by_pred(canon, edge_counts, exchanged=False)
+    subj = count_by_pred(
+        hash_grouped(
+            canon.map_batches(pair_distinct("subj"), batch_format="pyarrow"),
+            ["pred", "subj"],
+        ),
+        pair_count("subj"),
+        exchanged=True,
+    )
+    obj = count_by_pred(
+        hash_grouped(
+            canon.map_batches(pair_distinct("obj"), batch_format="pyarrow"),
+            ["pred", "obj"],
+        ),
+        pair_count("obj"),
+        exchanged=True,
+    )
+    out = (
+        edges.rename(columns={"n": "n_edges"})
+        .merge(subj.rename(columns={"n": "n_subj"}), on="pred")
+        .merge(obj.rename(columns={"n": "n_obj"}), on="pred")
+    )
+    return out.reset_index(drop=True)
+
+
+def _late_oracles6():
+    from ntto_ray.registry import _ORACLES
+
+    canon = K.triples_canonical_sql(_rules())
+    _ORACLES["kg_predicate_fanout"] = f"""
+WITH canon AS MATERIALIZED ({canon})
+SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+FROM canon GROUP BY pred
+""".strip()
+
+
+_late_oracles6()

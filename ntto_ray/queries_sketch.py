@@ -202,3 +202,102 @@ def sketch_bloom_semijoin(sf_dir: str):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+# --- Count-Min sketch point estimates --------------------------------------
+
+_CM_W = 4096  # counters per hash row; overestimate < 2eN/_CM_W w.h.p.
+_CM_QMOD = 89  # deterministic probe-key subset: user_id % _CM_QMOD == 0
+
+
+def _cm_hash_sql(col: str, seed: int) -> str:
+    """SQL mirror of stages.sketch.cm_hash — same XOR-seeded splitmix64
+    chain (UHUGEINT products mod 2^64), reduced mod the sketch width."""
+    mixed = sk.splitmix64_sql(
+        f"xor(CAST({col} AS UBIGINT), CAST({seed} AS UBIGINT))"
+    )
+    return f"CAST({mixed} % {_CM_W} AS BIGINT)"
+
+
+def _cm_oracle() -> str:
+    cell_scan = "\n    UNION ALL ".join(
+        f"SELECT {r} AS r, {_cm_hash_sql('user_id', seed)} AS cell FROM events"
+        for r, seed in enumerate(sk._CM_SEEDS)
+    )
+    probe_scan = "\n    UNION ALL ".join(
+        f"SELECT user_id, {r} AS r, {_cm_hash_sql('user_id', seed)} AS cell FROM qk"
+        for r, seed in enumerate(sk._CM_SEEDS)
+    )
+    return f"""
+WITH cells AS (
+  SELECT r, cell, count(*) AS cnt FROM (
+    {cell_scan}
+  ) GROUP BY r, cell
+),
+qk AS (SELECT DISTINCT user_id FROM events WHERE user_id % {_CM_QMOD} = 0),
+probe AS (
+    {probe_scan}
+)
+SELECT p.user_id, CAST(min(c.cnt) AS BIGINT) AS cm_est
+FROM probe p JOIN cells c ON c.r = p.r AND c.cell = p.cell
+GROUP BY p.user_id
+""".strip()
+
+
+@register("sketch_countmin", oracle=_cm_oracle())
+def sketch_countmin(sf_dir: str):
+    """Count-Min point estimates (Cormode & Muthukrishnan 2005) for a
+    deterministic probe-key subset: per-block sparse (row, cell, cnt)
+    partials → ONE grouped Sum over sketch-scale rows (<= d*w per block,
+    never data-scale) → the merged d x w counter matrix is bounded
+    driver state broadcast once → probe keys (block-local distinct →
+    one hash exchange → exact distinct) read min-over-rows vectorized.
+    The XOR-seeded splitmix64 row hashes are mirrored bit-for-bit in
+    DuckDB UHUGEINT arithmetic, so the probabilistic estimator has an
+    EXACT oracle (same sketch → same estimates)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    merged = (
+        ev.map_batches(
+            lambda t: sk.cm_partial(t, "user_id", _CM_W),
+            batch_format="pyarrow",
+        )
+        .groupby(["r", "cell"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    counters = sk.cm_counters(pa.Table.from_pandas(merged), _CM_W)
+    cref = ray.put(counters)
+
+    _EMPTY = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "cm_est": pa.array([], pa.int64()),
+        }
+    )
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        u = np.unique(t["user_id"].to_numpy())
+        u = u[u % _CM_QMOD == 0]
+        return pa.table({"user_id": pa.array(u.astype(np.int64))})
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _EMPTY
+        u = np.unique(t["user_id"].to_numpy())
+        est = sk.cm_query(ray.get(cref), u, _CM_W)
+        return pa.table(
+            {"user_id": pa.array(u.astype(np.int64)), "cm_est": pa.array(est)}
+        )
+
+    keys = ev.map_batches(block_distinct, batch_format="pyarrow")
+    grouped = hash_grouped(keys, ["user_id"])
+    return grouped.map_batches(
+        probe, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )

@@ -510,6 +510,35 @@ def ann_bruteforce_topk(sf_dir: str):
     return brute_force_topk(_emb(sf_dir), ids, m, k=10)
 
 
+_RANGE_THR = 0.2
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN {_ANN_QUERY_IDS}
+)
+SELECT q.qid, e.vec_id
+FROM q, embeddings e
+WHERE e.vec_id != q.qid
+  AND list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) >= {_RANGE_THR}
+""",
+)
+def ann_range_search(sf_dir: str):
+    """Radius query: every corpus vector within cosine >= {thr} of each
+    broadcast query — the retrieval sibling of top-k (recall-oriented
+    candidate generation wants ALL near neighbors, not a fixed k).
+    Zero-shuffle: the batched matmul's threshold survivors ARE the
+    answer, so unlike top-k there is no reduce stage at all (stages/
+    ann.range_search)."""
+    from ntto_ray.stages.ann import range_search
+
+    ids, m = _query_matrix(sf_dir)
+    return range_search(_emb(sf_dir), ids, m, threshold=_RANGE_THR)
+
+
 def _lsh_oracle_sql(dim: int = 64, nbits: int = 8) -> str:
     """Exact SQL mirror of hyperplane-LSH top-k: the seeded hyperplanes
     (RandomState(7), ann.HyperplaneLSH) are INLINED as double literals

@@ -138,6 +138,63 @@ def brute_force_topk(
     return _topk_reduce(cands, k, with_sim=with_sim)
 
 
+class RangeSearch:
+    """Per-batch range-search stage: every corpus row in the batch whose
+    cosine similarity to any broadcast query meets ``threshold`` is
+    emitted as (qid, vec_id). Zero shuffle — the output IS the answer
+    (no reduce needed: range search has no cross-batch ranking), so the
+    stage streams at corpus scale with per-task memory bounded by one
+    batch × nq floats."""
+
+    def __init__(self, queries_ref, threshold: float):
+        self.qids, qm = ray.get(queries_ref)
+        self.qm = _normalize(qm)  # (nq, d)
+        self.thr = float(threshold)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                }
+            )
+        m = _normalize(_emb_matrix(t))  # (n, d)
+        vec_ids = t["vec_id"].to_numpy()
+        sims = self.qm @ m.T  # (nq, n)
+        qi, ci = np.nonzero(sims >= self.thr)
+        qids = self.qids[qi]
+        vids = vec_ids[ci].astype(np.int64)
+        keep = qids != vids  # exclude self-matches
+        return pa.table(
+            {
+                "qid": pa.array(qids[keep]),
+                "vec_id": pa.array(vids[keep]),
+            }
+        )
+
+
+def range_search(
+    embeddings: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    threshold: float,
+) -> ray.data.Dataset:
+    """All corpus vectors within cosine ``threshold`` of each query —
+    the radius-query sibling of :func:`brute_force_topk` (same broadcast
+    + batched-matmul shape, but no top-k reduce at all)."""
+    ref = ray.put(
+        (np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix))
+    )
+    return embeddings.map_batches(
+        RangeSearch,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"queries_ref": ref, "threshold": threshold},
+    )
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures: sign pattern of ``nbits`` fixed
     hyperplanes (seeded) → integer bucket. Stage emits (vec_id, bucket)."""

@@ -161,6 +161,77 @@ def kmv_estimate(parts: pa.Table, k: int) -> tuple[int, int]:
     return (k - 1) * _TWO64 // hk, k
 
 
+# --- Count-Min sketch ------------------------------------------------------
+
+# Row seeds: leading hex digits of pi (nothing-up-my-sleeve constants, same
+# convention as the Bloom seeds above). d = len(_CM_SEEDS) hash rows.
+_CM_SEEDS = (
+    0x243F6A8885A308D3,
+    0x13198A2E03707344,
+    0xA4093822299F31D0,
+    0x082EFA98EC4E6C89,
+)
+
+
+def cm_hash(keys: np.ndarray, seed: int, width: int) -> np.ndarray:
+    """Row hash h_r(k) = splitmix64(uint64(k) XOR seed_r) mod width —
+    the same XOR-seeding scheme as the Bloom probes, SQL-mirrorable via
+    :func:`splitmix64_sql` (see cm_hash_sql in queries_sketch)."""
+    kk = keys.astype(np.int64).view(_U)
+    return (splitmix64(kk ^ _U(seed)) % _U(width)).astype(np.int64)
+
+
+def cm_partial(t: pa.Table, key: str, width: int) -> pa.Table:
+    """Per-block Count-Min partial: for each of the d seeded rows,
+    bincount the cells the block's keys hash to; emit SPARSE
+    (r, cell, cnt) rows — O(d * min(n, width)) per block. Partials merge
+    with a plain grouped Sum, so the global sketch costs one exchange of
+    sketch-scale (not data-scale) rows."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "r": pa.array([], pa.int64()),
+                "cell": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    x = t[key].to_numpy(zero_copy_only=False)
+    rs, cells, cnts = [], [], []
+    for r, seed in enumerate(_CM_SEEDS):
+        bc = np.bincount(cm_hash(x, seed, width), minlength=width)
+        nz = np.flatnonzero(bc)
+        rs.append(np.full(len(nz), r, np.int64))
+        cells.append(nz.astype(np.int64))
+        cnts.append(bc[nz].astype(np.int64))
+    return pa.table(
+        {
+            "r": pa.array(np.concatenate(rs)),
+            "cell": pa.array(np.concatenate(cells)),
+            "cnt": pa.array(np.concatenate(cnts)),
+        }
+    )
+
+
+def cm_counters(merged: pa.Table, width: int) -> np.ndarray:
+    """Densify grouped-sum partials into the (d, width) counter matrix
+    (bounded driver state: d*width int64 cells regardless of N)."""
+    c = np.zeros((len(_CM_SEEDS), width), dtype=np.int64)
+    c[merged["r"].to_numpy(), merged["cell"].to_numpy()] = merged[
+        "cnt"
+    ].to_numpy()
+    return c
+
+
+def cm_query(counters: np.ndarray, keys: np.ndarray, width: int) -> np.ndarray:
+    """Point estimates: min over the d rows of each key's cell counter.
+    Upper-bounds the true count; overestimate < 2eN/width w.h.p."""
+    est = None
+    for r, seed in enumerate(_CM_SEEDS):
+        v = counters[r, cm_hash(keys, seed, width)]
+        est = v if est is None else np.minimum(est, v)
+    return est.astype(np.int64)
+
+
 # --- Bloom-filter semi-join ----------------------------------------------
 
 _BLOOM_SEEDS = (0, 0x5851F42D4C957F2D, 0x14057B7EF767814F, 0x27BB2EE687B0B0FD)

@@ -169,3 +169,56 @@ def test_hll_partial_mergeable_and_matches_scalar():
     est = (0.709 * m * m) / np.sum(np.power(2.0, -whole))
     true = len(np.unique(vals))
     assert 0.7 * true < est < 1.3 * true
+
+
+def test_countmin_merge_equals_single_pass_and_upper_bounds():
+    """Chunked cm_partial + grouped sum == one-shot sketch; estimates
+    upper-bound true counts and are exact for keys with no collisions."""
+    rng = np.random.RandomState(11)
+    vals = rng.zipf(1.5, size=5000)
+    vals = vals[vals < 10**9].astype(np.int64)
+    w = 512
+
+    # chunked partials merged by grouped sum
+    parts = pa.concat_tables(
+        sk.cm_partial(pa.table({"v": pa.array(c, pa.int64())}), "v", w)
+        for c in np.array_split(vals, 7)
+    )
+    merged = parts.group_by(["r", "cell"]).aggregate([("cnt", "sum")])
+    merged = merged.rename_columns(["r", "cell", "cnt"])
+    chunked = sk.cm_counters(merged, w)
+
+    # one-shot reference
+    one = sk.cm_partial(pa.table({"v": pa.array(vals, pa.int64())}), "v", w)
+    whole = sk.cm_counters(one, w)
+    assert np.array_equal(chunked, whole)
+
+    keys, true = np.unique(vals, return_counts=True)
+    est = sk.cm_query(whole, keys, w)
+    assert np.all(est >= true)  # CM never underestimates
+    # every row sums to N
+    assert np.all(whole.sum(axis=1) == len(vals))
+    # the heaviest key's estimate is within the CM additive bound often
+    # enough to be useful: at least the top key must be near-exact here
+    top = np.argmax(true)
+    assert est[top] - true[top] <= len(vals) // 64
+
+
+def test_countmin_sql_mirror():
+    """The XOR-seeded row hash matches its DuckDB UHUGEINT mirror."""
+    duckdb = pytest.importorskip("duckdb")
+    from ntto_ray.queries_sketch import _CM_W, _cm_hash_sql
+
+    keys = np.array([0, 1, 89, 12345, 2**40 + 7, 2**62], dtype=np.int64)
+    for r, seed in enumerate(sk._CM_SEEDS):
+        want = sk.cm_hash(keys, seed, _CM_W)
+        got = (
+            duckdb.sql(
+                f"SELECT {_cm_hash_sql('user_id', seed)} AS h FROM "
+                "(SELECT unnest($keys) AS user_id)",
+                params={"keys": keys.tolist()},
+            )
+            .fetchnumpy()["h"]
+            .astype(np.int64)
+        )
+        assert np.array_equal(want, got), f"row {r} mismatch"
