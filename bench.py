@@ -134,6 +134,9 @@ def run_bench() -> dict:
         "kg_degree_distribution",
         "ann_range_search",
         "sketch_countmin",
+        "dedup_semantic",
+        "dedup_chunks",
+        "kg_characteristic_sets",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)

@@ -474,3 +474,79 @@ FROM canon GROUP BY pred
 
 
 _late_oracles6()
+
+
+@register("kg_characteristic_sets", oracle=None)  # oracle filled below
+def kg_characteristic_sets(sf_dir: str):
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): the
+    histogram of distinct per-subject predicate SETS — the classic KG
+    structure summary (RDF cardinality estimation, entity-shape mining).
+    Plan: cached canonical → block-local distinct (subj, pred) pairs
+    (map-side combine) → ONE subject-keyed hash exchange of pair-distinct
+    rows (whole subjects per block by the hash_grouped contract — the
+    canonicalize bucket layout alone is not enough because a bucket may
+    split at the block-size boundary and set-valued partials don't
+    Sum-merge) → vectorized cset build (runs + ListArray + binary_join,
+    no per-subject Python loop) → per-block histogram partials → tiny
+    groupby(cset) Sum at result scale."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "pred"])
+
+    _PAIRS = pa.schema([("subj", pa.string()), ("pred", pa.string())])
+    _HIST = pa.schema([("cset", pa.string()), ("n", pa.int64())])
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _PAIRS.empty_table()
+        return t.group_by(["subj", "pred"]).aggregate([])
+
+    def cset_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _HIST.empty_table()
+        d = t.group_by(["subj", "pred"]).aggregate([])  # exact: whole subj
+        d = d.sort_by([("subj", "ascending"), ("pred", "ascending")])
+        subj = d["subj"].to_numpy(zero_copy_only=False)
+        starts, _ = runs(subj)
+        offsets = np.concatenate([starts, [len(subj)]]).astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            d["pred"].combine_chunks(),
+        )
+        csets = pc.binary_join(la, "|")
+        g = (
+            pa.table({"cset": csets})
+            .group_by("cset")
+            .aggregate([("cset", "count")])
+        )
+        return g.rename_columns(["cset", "n"])
+
+    pairs = canon.map_batches(pair_distinct, batch_format="pyarrow")
+    grouped = hash_grouped(pairs, ["subj"])
+    partials = grouped.map_batches(
+        cset_partial, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+    return partials.groupby("cset").aggregate(Sum("n", alias_name="n_subj"))
+
+
+def _late_oracles7():
+    from ntto_ray.registry import _ORACLES
+
+    canon = K.triples_canonical_sql(_rules())
+    _ORACLES["kg_characteristic_sets"] = f"""
+WITH canon AS MATERIALIZED ({canon}),
+cs AS (
+  SELECT subj, string_agg(DISTINCT pred, '|' ORDER BY pred) AS cset
+  FROM canon GROUP BY subj
+)
+SELECT cset, CAST(count(*) AS BIGINT) AS n_subj FROM cs GROUP BY cset
+""".strip()
+
+
+_late_oracles7()

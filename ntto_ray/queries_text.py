@@ -584,17 +584,16 @@ def ann_lsh_topk(sf_dir: str):
     return lsh_topk(_emb(sf_dir), ids, m, k=10, dim=m.shape[1])
 
 
-def _ivf_oracle_sql(
-    *, nlist: int = 16, nprobe: int = 4, iters: int = 10, train: int = 4096, k: int = 10, dim: int = 64
+def _km_eassign_ctes(
+    *, nlist: int = 16, iters: int = 10, train: int = 4096, dim: int = 64
 ) -> str:
-    """Exact SQL mirror of IVF top-k INCLUDING the spherical k-means
-    coarse quantizer, unrolled as ``iters`` chained MATERIALIZED CTEs
-    (non-materialized CTEs inline the previous iteration twice per level
-    → exponential plan blowup). Mirrorability is engineered on the Ray
-    side (stages/ann.py _kmeans): no-RNG first-k seeding, ties to lowest
-    centroid id, empty clusters keep their centroid, and centroids are
-    float32-quantized per iteration so numpy-vs-SQL summation-order ulp
-    differences cannot drift the assignments."""
+    """CTE body (no WITH) mirroring the spherical k-means coarse
+    quantizer + full-corpus assignment, shared by the IVF and semantic-
+    dedup oracles: unrolled ``iters`` chained MATERIALIZED CTEs ending in
+    ``eassign(vec_id, v, c)`` and ``en(vec_id, v)``. Mirrorability is
+    engineered on the Ray side (stages/ann.py _kmeans): no-RNG first-k
+    seeding, ties to lowest centroid id, empty clusters keep their
+    centroid, float32-quantized per iteration."""
     parts = [
         f"""
 s AS MATERIALIZED (
@@ -645,8 +644,7 @@ cent{it} AS MATERIALIZED (
         )
         prev = f"cent{it}"
     km = ",".join(parts)
-    return f"""
-WITH {km},
+    return f"""{km},
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 en AS MATERIALIZED (
   SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v
@@ -661,7 +659,17 @@ eassign AS MATERIALIZED (
            ) AS rn
     FROM en CROSS JOIN {prev} f
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_oracle_sql(
+    *, nlist: int = 16, nprobe: int = 4, iters: int = 10, train: int = 4096, k: int = 10, dim: int = 64
+) -> str:
+    """Exact SQL mirror of IVF top-k over the shared k-means+assignment
+    CTEs (:func:`_km_eassign_ctes`)."""
+    ctes = _km_eassign_ctes(nlist=nlist, iters=iters, train=train, dim=dim)
+    return f"""
+WITH {ctes},
 q AS (SELECT vec_id AS qid, v AS qv FROM en WHERE vec_id IN {_ANN_QUERY_IDS}),
 probes AS (
   SELECT qid, c FROM (
@@ -670,7 +678,7 @@ probes AS (
              PARTITION BY q.qid
              ORDER BY list_dot_product(q.qv, f.cv) DESC, f.c ASC
            ) AS rn
-    FROM q CROSS JOIN {prev} f
+    FROM q CROSS JOIN cent{iters} f
   ) WHERE rn <= {nprobe}
 ),
 scored AS (
@@ -693,6 +701,42 @@ def ann_ivf_topk(sf_dir: str):
 
     ids, m = _query_matrix(sf_dir)
     return ivf_topk(_emb(sf_dir), ids, m, k=10)
+
+
+_SEM_THR = 0.3
+
+
+def _semantic_oracle_sql(
+    *, nlist: int = 16, iters: int = 10, train: int = 4096, dim: int = 64
+) -> str:
+    """Exact SQL mirror of SemDeDup over the shared k-means+assignment
+    CTEs: drop b iff some same-cluster a with a.vec_id < b.vec_id sits at
+    cosine >= threshold; keep the rest."""
+    ctes = _km_eassign_ctes(nlist=nlist, iters=iters, train=train, dim=dim)
+    return f"""
+WITH {ctes},
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM eassign a JOIN eassign b
+    ON a.c = b.c AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) >= {_SEM_THR}
+)
+SELECT ea.vec_id, CAST(ea.c AS BIGINT) AS cluster
+FROM eassign ea
+WHERE ea.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@register("dedup_semantic", oracle=_semantic_oracle_sql())
+def dedup_semantic(sf_dir: str):
+    """SemDeDup semantic near-dup removal (Abbas et al. 2023): spherical
+    k-means clusters (same mirrored quantizer as IVF) → within-cluster
+    cosine >= {thr} greedy lower-id-wins drop → kept (vec_id, cluster).
+    See stages/ann.semantic_dedup for the scale shape (broadcast
+    centroids, one cluster-keyed exchange, bounded per-cluster verify)."""
+    from ntto_ray.stages.ann import semantic_dedup
+
+    return semantic_dedup(_emb(sf_dir), threshold=_SEM_THR)
 
 
 def _pq_oracle_sql(

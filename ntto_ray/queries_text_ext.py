@@ -1175,3 +1175,117 @@ def text_chunking(sf_dir: str):
         )
 
     return docs.map_batches(chunks, batch_format="pyarrow")
+
+
+# --- passage-level exact dedup (CCNet-style sub-document dedup) ------------
+
+_DC_W = 32  # tokens per non-overlapping passage
+
+
+@register(
+    "dedup_chunks",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+m AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+ch AS (
+  SELECT doc_id, tk, unnest(generate_series(0, (n + {_DC_W - 1}) // {_DC_W} - 1)) AS i
+  FROM m
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         array_to_string(tk[i * {_DC_W} + 1 : (i + 1) * {_DC_W}], ' ') AS chunk
+  FROM ch
+),
+ranked AS (
+  SELECT doc_id, chunk_idx,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id, chunk_idx FROM ranked WHERE rn > 1
+""",
+)
+def dedup_chunks(sf_dir: str):
+    """Passage-level exact dedup (the sub-document pass of CCNet /
+    RefinedWeb-style pipelines): each doc splits into non-overlapping
+    {W}-token passages; any passage whose exact text already appeared at
+    a lower (doc_id, chunk_idx) is reported dropped. Plan: vectorized
+    passage build (the text_chunking index arithmetic + ListArray slices
+    + binary_join — no Python loop) → ONE passage-keyed hash exchange
+    (the passage string is the shuffle key, so verify is block-local) →
+    keep-first-drop-rest per group, vectorized via sorted runs. Dropped
+    rows are result-scale; the corpus streams through exactly one
+    all-to-all."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    _CH = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("chunk", pa.string()),
+        ]
+    )
+    _OUT = pa.schema([("doc_id", pa.int64()), ("chunk_idx", pa.int64())])
+
+    def passages(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return _CH.empty_table()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        row_off = np.concatenate([[0], np.cumsum(n)])
+        nc = (n + _DC_W - 1) // _DC_W  # empty text → n=1 ([""]) → 1 chunk
+        total = int(nc.sum())
+        row_idx = np.repeat(np.arange(len(n), dtype=np.int64), nc)
+        ci = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nc)[:-1]]), nc
+        )
+        start = row_off[row_idx] + ci * _DC_W
+        # passages tile the flattened token array exactly (consecutive
+        # within a doc, docs consecutive), so starts + final end form a
+        # valid monotone offset vector.
+        offsets = np.concatenate([start, [row_off[-1]]]).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), flat
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(row_idx, pa.int64())),
+                "chunk_idx": pa.array(ci),
+                "chunk": pc.binary_join(la, " "),
+            }
+        )
+
+    def drop_rest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "chunk" not in t.column_names:
+            return _OUT.empty_table()
+        from ntto_ray.stages.exchange import runs
+
+        s = t.sort_by(
+            [
+                ("chunk", "ascending"),
+                ("doc_id", "ascending"),
+                ("chunk_idx", "ascending"),
+            ]
+        )
+        key = s["chunk"].to_numpy(zero_copy_only=False)
+        starts, _ = runs(key)
+        keep_first = np.zeros(len(key), dtype=bool)
+        keep_first[starts] = True
+        dropped = pa.array(~keep_first)
+        return pa.table(
+            {
+                "doc_id": s["doc_id"].filter(dropped),
+                "chunk_idx": s["chunk_idx"].filter(dropped),
+            }
+        )
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    ch = docs.map_batches(passages, batch_format="pyarrow")
+    grouped = hash_grouped(ch, ["chunk"])
+    return grouped.map_batches(
+        drop_rest, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )

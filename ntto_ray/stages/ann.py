@@ -388,6 +388,93 @@ def ivf_topk(
     return _topk_reduce(cands, k)
 
 
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    *,
+    nlist: int = 16,
+    threshold: float = 0.3,
+    train_sample: int = 4096,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the corpus with the spherical k-means coarse
+    quantizer, then WITHIN each cluster drop every vector that has a
+    lower-vec_id neighbor at cosine >= ``threshold``. Returns the KEPT
+    rows as (vec_id, cluster).
+
+    Scale shape: centroids broadcast once; assignment is a zero-shuffle
+    batch matmul; ONE cluster-keyed hash exchange co-locates each cluster
+    whole; the O(|cluster|^2 d) pairwise verify is the SemDeDup
+    trade-off — nlist must grow ~N/target_cluster_size so per-task work
+    stays bounded (the paper uses 50k clusters for LAION-440M). The
+    greedy lower-id-wins rule (not transitive-closure canonical) is the
+    paper's semantics and is exactly SQL-mirrorable."""
+    sample = (
+        embeddings.filter(expr=f"vec_id < {int(train_sample)}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cent = _kmeans(sm, nlist)
+    cref = ray.put(cent)
+
+    _ASSIGNED = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("c", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+        ]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return _ASSIGNED.empty_table()
+        m = _normalize(_emb_matrix(t))
+        c = np.argmax(m @ ray.get(cref).T, axis=1)  # ties → lowest id
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "c": pa.array(c.astype(np.int64)),
+                "embedding": t["embedding"].cast(pa.list_(pa.float32())),
+            }
+        )
+
+    _KEPT = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return _KEPT.empty_table()
+        from ntto_ray.stages.exchange import runs
+
+        c = t["c"].to_numpy()
+        vid = t["vec_id"].to_numpy()
+        m = _normalize(_emb_matrix(t))
+        keep = np.ones(len(vid), dtype=bool)
+        starts, ends = runs(c)  # block sorted by c → contiguous clusters
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idx = np.argsort(vid[s:e], kind="stable") + s
+            sims = m[idx] @ m[idx].T
+            # drop j if ANY lower-vec_id i in the cluster has sim >= thr
+            dropped = np.triu(sims >= threshold, k=1).any(axis=0)
+            keep[idx[dropped]] = False
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[keep].astype(np.int64)),
+                "cluster": pa.array(c[keep].astype(np.int64)),
+            }
+        )
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    assigned = embeddings.map_batches(assign, batch_format="pyarrow")
+    grouped = hash_grouped(assigned, ["c"])
+    return grouped.map_batches(
+        verify, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
 def _kmeans_l2(sample: np.ndarray, k: int, *, iters: int = 6) -> np.ndarray:
     """Plain-L2 k-means for PQ sub-quantizer training, engineered
     SQL-MIRRORABLE with the same tricks as :func:`_kmeans`: first-k

@@ -147,6 +147,46 @@ def test_ann_lsh_subset_of_bruteforce(ray_session):
         assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
 
 
+def test_semantic_dedup_matches_local_reference(ray_session):
+    """Distributed SemDeDup == a single-process numpy reference (same
+    mirrored k-means, same greedy lower-id-wins rule) — pins the
+    cluster-keyed exchange + per-cluster verify independent of SQL."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ntto_ray.stages.ann import _kmeans, semantic_dedup
+
+    emb = ray.data.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = (
+        semantic_dedup(emb, nlist=8, threshold=0.3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    vid = t["vec_id"].to_numpy()
+    order = np.argsort(vid)
+    vid = vid[order]
+    m = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()]).astype(
+        np.float64
+    )[order]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cent = _kmeans(m[vid < 4096], 8)
+    assign = np.argmax(m @ cent.T, axis=1)
+    sims = m @ m.T
+    keep = np.ones(len(vid), dtype=bool)
+    for c in np.unique(assign):
+        idx = np.flatnonzero(assign == c)  # vid-ascending already
+        s = sims[np.ix_(idx, idx)]
+        keep[idx[np.triu(s >= 0.3, k=1).any(axis=0)]] = False
+
+    assert list(got["vec_id"]) == list(vid[keep])
+    assert list(got["cluster"]) == list(assign[keep])
+    assert 0 < len(got) < len(vid)  # drops something, keeps something
+
+
 def test_ann_ivf_recall_vs_bruteforce(ray_session):
     import pyarrow.parquet as pq
 
