@@ -326,3 +326,61 @@ JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
 
 
 _late_oracle()
+
+
+_LPA_ROUNDS = 3
+
+
+@register("kg_lpa_communities", oracle=None)  # oracle filled below
+def kg_lpa_communities(sf_dir: str):
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the canonical KG's undirected multigraph:
+    {_LPA_ROUNDS} fixed rounds, most-frequent-neighbor-label updates with
+    ties to the lexicographically smallest label — the deterministic LPA
+    variant, so the distributed rounds (stages/graph.lpa_communities:
+    per-block vote partials + grouped Sum or driver fold, label vector
+    broadcast per round) are bit-identical to the unrolled SQL mirror."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.graph import lpa_communities
+
+    return lpa_communities(
+        run_kg_pipeline(sf_dir).select_columns(["subj", "obj"]),
+        rounds=_LPA_ROUNDS,
+    )
+
+
+def _late_oracle_lpa():
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.pipelines.kg import pipeline_rules
+    from ntto_ray.registry import _ORACLES
+
+    canon = K.triples_canonical_sql(pipeline_rules())
+    # multigraph votes: one row per canonical triple per direction (a
+    # self-loop therefore votes its own label twice) — matches the Ray
+    # side's concat(sid,did) exactly. MATERIALIZED: und is referenced
+    # once per round; labels l{r} twice.
+    cte = [
+        f"canon AS MATERIALIZED ({canon})",
+        "und AS MATERIALIZED (SELECT subj AS a, obj AS b FROM canon"
+        " UNION ALL SELECT obj AS a, subj AS b FROM canon)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und)",
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        cte.append(f"""l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT u.a AS node, p.label, count(*) AS c,
+           row_number() OVER (
+             PARTITION BY u.a ORDER BY count(*) DESC, p.label ASC
+           ) AS rn
+    FROM und u JOIN l{r - 1} p ON p.node = u.b
+    GROUP BY u.a, p.label
+  ) WHERE rn = 1
+)""")
+    _ORACLES["kg_lpa_communities"] = (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT node, label AS community FROM l{_LPA_ROUNDS}"
+    )
+
+
+_late_oracle_lpa()

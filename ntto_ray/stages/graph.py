@@ -1323,3 +1323,110 @@ def _pagerank_dataset(
             "pr": pa.array(out["pr"].to_numpy(), pa.int64()),
         }
     )
+
+
+def lpa_communities(
+    edges_ds: ray.data.Dataset,
+    *,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    rounds: int = 3,
+    fold_edges: int = FOLD_EDGES,
+) -> pa.Table:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007,
+    "Near linear time algorithm to detect community structures") over the
+    UNDIRECTED multigraph: every node starts labeled with its own id;
+    each round every node adopts the most frequent label among its
+    neighbors (parallel edges weight the vote; self-loops vote the
+    node's own label), ties broken to the LEXICOGRAPHICALLY SMALLEST
+    label — a deterministic total order, so ``rounds`` fixed synchronous
+    rounds are bit-reproducible and exactly SQL-mirrorable (classic LPA
+    randomizes update order; the synchronous min-tie variant trades
+    convergence speed for determinism).
+
+    Scale contract mirrors :func:`pagerank_int`'s first two regimes: the
+    edge Dataset stays distributed; each round maps edge blocks to
+    (node, label, count) partials — partial volume ≤ 2× block rows —
+    then either folds them on the driver (``fold_edges`` regime; the
+    per-round exchange's fixed scheduling cost dominates small graphs)
+    or merges with one grouped Sum; only the label vector (node-scale)
+    lives on the driver and broadcasts per round. Past
+    ``MAX_DRIVER_NODES`` this needs the dataset-resident-labels
+    treatment (_pagerank_dataset's shape); left to that threshold's
+    arrival since labels are entity-scale, not corpus-scale."""
+    from ray.data.aggregate import Sum
+
+    edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.string()),
+                "community": pa.array([], pa.string()),
+            }
+        )
+    fold = n_edges <= fold_edges
+
+    nodes = _nodes_driver(edges, src_col, dst_col, fold=fold)
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+    labels = np.arange(n, dtype=np.int64)  # label = index of node id
+
+    _PART = pa.schema([("i", pa.int64()), ("l", pa.int64()), ("c", pa.int64())])
+
+    for _ in range(rounds):
+        lref = ray.put(labels)
+
+        def push(t: pa.Table, *, ref=lref) -> pa.Table:
+            if t.num_rows == 0:
+                return _PART.empty_table()
+            nd = ray.get(nodes_ref)
+            lab = ray.get(ref)
+            sid = np.searchsorted(nd, t[src_col].to_numpy(zero_copy_only=False))
+            did = np.searchsorted(nd, t[dst_col].to_numpy(zero_copy_only=False))
+            i = np.concatenate([sid, did])  # undirected: vote both ways
+            l = lab[np.concatenate([did, sid])]
+            key = i * np.int64(n) + l  # n^2 < 2^63 for every driver-scale n
+            u, c = np.unique(key, return_counts=True)
+            return pa.table(
+                {
+                    "i": (u // n).astype(np.int64),
+                    "l": (u % n).astype(np.int64),
+                    "c": c.astype(np.int64),
+                }
+            )
+
+        pushed = edges.map_batches(push, batch_format="pyarrow")
+        if fold:
+            df = pushed.to_pandas()
+            if not len(df):
+                break
+            key = df["i"].to_numpy() * np.int64(n) + df["l"].to_numpy()
+            u, inv = np.unique(key, return_inverse=True)
+            c = np.zeros(len(u), dtype=np.int64)
+            np.add.at(c, inv, df["c"].to_numpy())
+            i, l = (u // n).astype(np.int64), (u % n).astype(np.int64)
+        else:
+            df = (
+                pushed.groupby(["i", "l"])
+                .aggregate(Sum("c", alias_name="c"))
+                .to_pandas()
+            )
+            i = df["i"].to_numpy()
+            l = df["l"].to_numpy()
+            c = df["c"].to_numpy()
+        # winner per node: max count, ties to smallest label index
+        # (== lexicographically smallest node string; nodes are sorted)
+        order = np.lexsort((l, -c, i))
+        i, l = i[order], l[order]
+        first = np.flatnonzero(np.r_[True, i[1:] != i[:-1]])
+        new_labels = labels.copy()
+        new_labels[i[first]] = l[first]
+        labels = new_labels
+
+    return pa.table(
+        {
+            "node": pa.array(nodes.tolist(), pa.string()),
+            "community": pa.array(nodes[labels].tolist(), pa.string()),
+        }
+    )
