@@ -137,6 +137,8 @@ def run_bench() -> dict:
         "dedup_semantic",
         "dedup_chunks",
         "kg_characteristic_sets",
+        "kg_lpa_communities",
+        "ann_knn_join",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)

@@ -703,6 +703,43 @@ def ann_ivf_topk(sf_dir: str):
     return ivf_topk(_emb(sf_dir), ids, m, k=10)
 
 
+_KNN_K = 5
+
+
+@register(
+    "ann_knn_join",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+en AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v
+  FROM e
+),
+scored AS (
+  SELECT a.vec_id AS qid, b.vec_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_dot_product(a.v, b.v) DESC, b.vec_id ASC
+         ) AS rank
+  FROM en a JOIN en b ON b.vec_id != a.vec_id
+)
+SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= {_KNN_K}
+""",
+)
+def ann_knn_join(sf_dir: str):
+    """Exact cosine kNN self-join — EVERY vector's global top-{k}
+    neighbors (the kNN-graph precompute behind semantic curation and
+    graph-ANN indexes). Distributed as deterministic vec_id//tile tiling
+    → pair-keyed tile replication (corpus×T bytes, the standard
+    all-pairs trade) → one exchange → per-pair matmuls → shared Arrow
+    top-k reduce (stages/ann.knn_join). The ANN variants (lsh/ivf/pq)
+    are the sub-quadratic scale path; this is the exact baseline."""
+    from ntto_ray.stages.ann import knn_join
+
+    return knn_join(_emb(sf_dir), k=_KNN_K)
+
+
 _SEM_THR = 0.3
 
 

@@ -19,7 +19,11 @@ import ray.data
 
 
 def _topk_reduce(
-    cands: ray.data.Dataset, k: int, *, with_sim: bool = False
+    cands: ray.data.Dataset,
+    k: int,
+    *,
+    with_sim: bool = False,
+    reserve_cpus: bool = True,
 ) -> ray.data.Dataset:
     """Global per-qid top-k over the batch-local candidates: one small
     qid-keyed exchange (candidate volume is k × nq × nbatches, never
@@ -62,7 +66,9 @@ def _topk_reduce(
         return pa.Table.from_arrays([cols[n] for n in names], schema=schema)
 
     # candidates are tiny — a narrow 8-way exchange bounds fixed overhead
-    grouped = _hash_grouped(cands, ["qid"], parallelism=8, sort=False)
+    grouped = _hash_grouped(
+        cands, ["qid"], parallelism=8, sort=False, reserve_cpus=reserve_cpus
+    )
     return grouped.map_batches(
         kern, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
     )
@@ -709,3 +715,164 @@ def cosine_pairs(
     tiles = grouped.map_batches(emit_tile_pairs, batch_size=None, batch_format="pyarrow")
     # small batches: each row is ~2·tile·dim·4 bytes of matrix payload
     return tiles.map_batches(score_tiles, batch_size=8, batch_format="pyarrow")
+
+
+def knn_join(
+    embeddings: ray.data.Dataset, *, k: int = 5, tile: int = 2048
+) -> ray.data.Dataset:
+    """Exact cosine kNN SELF-join: every corpus vector's global top-k
+    neighbors (the kNN-graph precompute behind SemDeDup-style curation
+    and graph-based ANN indexes). Output (qid, vec_id, rank).
+
+    Scale shape — the global generalization of :func:`cosine_pairs`'s
+    block-nested loop, with NO corpus-scale broadcast:
+
+    1. deterministic tiling by ``vec_id // tile`` (dense ids → balanced
+       tiles, and the rule is SQL-expressible so the oracle stays a
+       plain self-join);
+    2. each block packs its rows into per-tile PARTIAL tiles (a tile
+       spanning blocks just yields several partials — pairing is
+       unaffected) and replicates each partial to its T partner pair
+       keys — the standard all-pairs replication trade: bytes on the
+       wire = corpus × T, sub-quadratic for any fixed tile size;
+    3. ONE pair-keyed hash exchange co-locates every (tile_a, tile_b)
+       pair; the score kernel computes both directions of the tile-pair
+       matmul, per-task memory bounded by the pair's partials;
+    4. batch-local per-src top-k candidates (≤ k per src per partner)
+       reduce through the shared Arrow :func:`_topk_reduce`.
+
+    O(n²/tile²) tile pairs is the exact-baseline cost; the ANN family
+    (lsh/ivf/pq) is the sub-quadratic scale path when recall < 1 is
+    acceptable."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    hi = embeddings.max("vec_id")
+    if hi is None:
+        return pa.schema(
+            [("qid", pa.int64()), ("vec_id", pa.int64()), ("rank", pa.int64())]
+        ).empty_table()
+    T = int(hi) // tile + 1
+
+    _TILES = pa.schema(
+        [
+            ("pk", pa.int64()),
+            ("tid", pa.int64()),
+            ("ids", pa.binary()),
+            ("m", pa.binary()),
+        ]
+    )
+    _CANDS = pa.schema(
+        [("qid", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+    )
+
+    def emit_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return _TILES.empty_table()
+        ids_all = t["vec_id"].to_numpy()
+        m_all = _normalize(_emb_matrix(t)).astype(np.float32)
+        tid_all = ids_all // tile
+        order = np.argsort(tid_all, kind="stable")
+        ids_all, m_all, tid_all = ids_all[order], m_all[order], tid_all[order]
+        rows = {n: [] for n in _TILES.names}
+        bounds = np.flatnonzero(np.r_[True, tid_all[1:] != tid_all[:-1]])
+        bounds = np.r_[bounds, len(tid_all)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            tid = int(tid_all[s])
+            blob_i, blob_m = ids_all[s:e].tobytes(), m_all[s:e].tobytes()
+            for partner in range(T):
+                a, b = min(tid, partner), max(tid, partner)
+                rows["pk"].append(a * T + b)
+                rows["tid"].append(tid)
+                rows["ids"].append(blob_i)
+                rows["m"].append(blob_m)
+        return pa.Table.from_arrays(
+            [
+                pa.array(rows["pk"], pa.int64()),
+                pa.array(rows["tid"], pa.int64()),
+                pa.array(rows["ids"], pa.binary()),
+                pa.array(rows["m"], pa.binary()),
+            ],
+            schema=_TILES,
+        )
+
+    def _side(t: pa.Table, rows: np.ndarray):
+        ids = [
+            np.frombuffer(t["ids"][int(r)].as_py(), dtype=np.int64)
+            for r in rows
+        ]
+        ms = [
+            np.frombuffer(t["m"][int(r)].as_py(), dtype=np.float32)
+            for r in rows
+        ]
+        i = np.concatenate(ids)
+        return i, np.concatenate(ms).reshape(len(i), -1).astype(np.float64)
+
+    def _local_topk(src, dst, sims, out):
+        # per-src top-k (self-pairs pre-masked by the caller via -inf)
+        kk = min(k, sims.shape[1])
+        if kk == 0:
+            return
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        r = np.repeat(src, kk)
+        c = dst[part.ravel()]
+        s = np.take_along_axis(sims, part, axis=1).ravel()
+        good = np.isfinite(s)
+        out.append((r[good], c[good], s[good]))
+
+    def score_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return _CANDS.empty_table()
+        pk = t["pk"].to_numpy()
+        tid = t["tid"].to_numpy()
+        out: list = []
+        from ntto_ray.stages.exchange import runs as _runs
+
+        starts, ends = _runs(pk)  # block sorted by pk
+        for s, e in zip(starts, ends):
+            key = int(pk[s])
+            a, b = key // T, key % T
+            rows = np.arange(s, e)
+            ra = rows[tid[s:e] == a]
+            rb = rows[tid[s:e] == b]
+            if a == b:
+                if len(ra) == 0:
+                    continue
+                ia, ma = _side(t, ra)
+                sims = ma @ ma.T
+                sims[ia[:, None] == ia[None, :]] = -np.inf  # mask self
+                _local_topk(ia, ia, sims, out)
+            else:
+                if len(ra) == 0 or len(rb) == 0:
+                    continue
+                ia, ma = _side(t, ra)
+                ib, mb = _side(t, rb)
+                sims = ma @ mb.T
+                _local_topk(ia, ib, sims, out)
+                _local_topk(ib, ia, sims.T.copy(), out)
+        if not out:
+            return _CANDS.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate([o[0] for o in out])),
+                pa.array(np.concatenate([o[1] for o in out])),
+                pa.array(np.concatenate([o[2] for o in out])),
+            ],
+            schema=_CANDS,
+        )
+
+    partials = embeddings.map_batches(emit_partials, batch_format="pyarrow")
+    # Chained-exchange topology (pair shuffle → top-k reduce shuffle):
+    # BOTH exchanges run with reserve_cpus=False — a reserved second
+    # aggregator pool deadlocks behind the first at >=16 CPUs (see
+    # exchange.hash_grouped). Pair-key parallelism is capped by the
+    # T(T+1)/2 keyspace so empty partitions don't pay finalize cost.
+    from ntto_ray.stages.exchange import shuffle_parallelism
+
+    nparts = max(1, min(shuffle_parallelism(), T * (T + 1) // 2))
+    grouped = hash_grouped(
+        partials, ["pk"], parallelism=nparts, reserve_cpus=False
+    )
+    cands = grouped.map_batches(
+        score_pairs, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+    return _topk_reduce(cands, k, reserve_cpus=False)

@@ -62,6 +62,7 @@ def hash_grouped(
     *,
     parallelism: int | None = None,
     sort: bool = True,
+    reserve_cpus: bool = True,
 ) -> ray.data.Dataset:
     """Hash-partition ``ds`` by ``keys`` with each output block sorted by
     them — the group-safe exchange for whole-block grouped kernels.
@@ -86,7 +87,15 @@ def hash_grouped(
     # 4/4 CPU used, one 1-CPU task pending forever). Reserve ~CPUs/4 in
     # total for aggregators on big sessions and a token ε on small ones —
     # finalize work transiently oversubscribes instead of deadlocking.
-    per_part = min(1.0, (cpus / 4) / nparts) if cpus >= 16 else 0.0
+    # reserve_cpus=False: ZERO reservation like the aggregate override
+    # below. REQUIRED when a pipeline chains TWO hash exchanges (e.g.
+    # knn_join's pair exchange → top-k reduce): the second exchange's
+    # aggregator actors otherwise pend forever behind the first
+    # exchange's reserved actors + saturated task slots (observed
+    # deadlock: 16/16 CPU used, 8 actors × 0.5 CPU pending).
+    per_part = (
+        min(1.0, (cpus / 4) / nparts) if (cpus >= 16 and reserve_cpus) else 0.0
+    )
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
     # The per-dataset context flows DOWNSTREAM: a later groupby() on the
     # returned dataset also plans as a HASH aggregate and reads its own

@@ -147,6 +147,44 @@ def test_ann_lsh_subset_of_bruteforce(ray_session):
         assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
 
 
+def test_knn_join_matches_local_exact(ray_session):
+    """Tiled kNN self-join == single-process exact top-k (sim DESC,
+    vec_id ASC) — pins the pair replication + two-exchange reduce, with
+    tile=64 forcing MULTIPLE tiles so cross-tile pairs are exercised."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ntto_ray.stages.ann import knn_join
+
+    emb = ray.data.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = (
+        knn_join(emb, k=3, tile=64)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    vid = t["vec_id"].to_numpy()
+    order = np.argsort(vid)
+    vid = vid[order]
+    m = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()]).astype(
+        np.float64
+    )[order]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    want = []
+    for i in range(len(vid)):
+        idx = np.lexsort((vid, -sims[i]))[:3]
+        want += [(int(vid[i]), int(vid[j]), r + 1) for r, j in enumerate(idx)]
+    import pandas as pd
+
+    want = pd.DataFrame(want, columns=["qid", "vec_id", "rank"])
+    assert got.equals(want)
+
+
 def test_semantic_dedup_matches_local_reference(ray_session):
     """Distributed SemDeDup == a single-process numpy reference (same
     mirrored k-means, same greedy lower-id-wins rule) — pins the
