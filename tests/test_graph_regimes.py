@@ -109,3 +109,41 @@ def test_pagerank_values_match_reference_loop(ray_session):
         pr = {n: base + d * s[n] // 100 for n in nodes}
     for n in nodes:
         assert out[n] == pr[n], n
+
+
+def test_lpa_two_paths_identical_and_reference(ray_session):
+    """LPA fold vs grouped-Sum regimes agree, and both match a local
+    synchronous reference loop (mode label, ties to smallest)."""
+    from ntto_ray.stages.graph import lpa_communities
+
+    ds = _string_edge_ds(7)
+    fold = lpa_communities(ds, rounds=3)  # 240 edges → fold path
+    dist = lpa_communities(ds, rounds=3, fold_edges=0)  # grouped Sum
+    assert _sorted_df(fold).equals(_sorted_df(dist))
+
+    # local synchronous reference
+    t = ds.to_pandas()
+    nodes = np.unique(np.concatenate([t["subj"].to_numpy(), t["obj"].to_numpy()]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    src = t["subj"].map(idx).to_numpy()
+    dst = t["obj"].map(idx).to_numpy()
+    lab = np.arange(len(nodes))
+    for _ in range(3):
+        votes = {}
+        for u, v in zip(np.concatenate([src, dst]), np.concatenate([dst, src])):
+            votes.setdefault(u, {}).setdefault(lab[v], 0)
+            votes[u][lab[v]] += 1
+        new = lab.copy()
+        for u, d in votes.items():
+            best = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[u] = best
+        lab = new
+    want = (
+        pa.table(
+            {
+                "node": pa.array(nodes.tolist(), pa.string()),
+                "community": pa.array(nodes[lab].tolist(), pa.string()),
+            }
+        )
+    )
+    assert _sorted_df(fold).equals(_sorted_df(want))
