@@ -301,3 +301,95 @@ def sketch_countmin(sf_dir: str):
     return grouped.map_batches(
         probe, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
     )
+
+
+# --- KMV theta-style set intersection --------------------------------------
+
+_KI_K = 64
+_KI_VAL = 90  # cohort B: purchase events with value >= this
+
+
+def _ki_oracle() -> str:
+    hsql = sk.splitmix64_sql("user_id")
+    maxu = "CAST(18446744073709551615 AS UBIGINT)"
+    return f"""
+WITH ha AS (SELECT DISTINCT {hsql} AS h FROM events WHERE event_type = 'click'),
+oa AS (SELECT h FROM ha ORDER BY h LIMIT {_KI_K}),
+sa AS (SELECT count(*) AS c, max(h) AS hk FROM oa),
+hb AS (SELECT DISTINCT {hsql} AS h FROM events
+       WHERE event_type = 'purchase' AND value >= {_KI_VAL}),
+ob AS (SELECT h FROM hb ORDER BY h LIMIT {_KI_K}),
+sb AS (SELECT count(*) AS c, max(h) AS hk FROM ob),
+th AS (
+  SELECT least(CASE WHEN sa.c < {_KI_K} THEN {maxu} ELSE sa.hk END,
+               CASE WHEN sb.c < {_KI_K} THEN {maxu} ELSE sb.hk END) AS theta
+  FROM sa, sb
+),
+i AS (
+  SELECT count(*) AS m FROM oa JOIN ob USING (h), th WHERE oa.h <= th.theta
+)
+SELECT CAST((CAST(i.m AS UHUGEINT) * 18446744073709551616)
+            // CAST(th.theta AS UHUGEINT) AS BIGINT) AS est,
+       CAST(i.m AS BIGINT) AS common_k
+FROM i, th
+""".strip()
+
+
+@register("sketch_kmv_intersection", oracle=_ki_oracle())
+def sketch_kmv_intersection(sf_dir: str) -> pd.DataFrame:
+    """Distinct-user overlap of two cohorts (click users x high-value
+    purchasers) via KMV/theta-sketch set intersection (Beyer et al.
+    SIGMOD'07 / the Datasketches theta family): each side keeps its k
+    smallest distinct splitmix64 hashes (one streaming pass, O(k) rows
+    per block per side, zero shuffles); theta = min over sides of the
+    k-th min (2^64-1 when a side is under k, i.e. exact); the matches
+    at-or-below theta scale by 2^64/theta — pure integer math mirrored
+    bit-for-bit in UHUGEINT SQL, so the probabilistic set-op estimator
+    has an EXACT oracle. One formula serves both regimes: with both
+    sides exact, floor(m*2^64/(2^64-1)) = m."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    _PART = pa.schema([("side", pa.string()), ("h", pa.uint64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _PART.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy()
+        val = t["value"].to_numpy()
+        sides, hs = [], []
+        for side, mask in (
+            ("a", et == "click"),
+            ("b", (et == "purchase") & (val >= _KI_VAL)),
+        ):
+            u = np.unique(uid[mask])
+            if not len(u):
+                continue
+            h = np.sort(sk.splitmix64(u.astype(np.int64).view(np.uint64)))
+            h = h[:_KI_K]
+            sides.append(np.full(len(h), side, dtype=object))
+            hs.append(h)
+        if not hs:
+            return _PART.empty_table()
+        return pa.table(
+            {
+                "side": pa.array(np.concatenate(sides), pa.string()),
+                "h": pa.array(np.concatenate(hs), pa.uint64()),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    MAXU = (1 << 64) - 1
+
+    def kmin(side: str) -> tuple[np.ndarray, int]:
+        h = np.unique(parts.loc[parts["side"] == side, "h"].to_numpy())[:_KI_K]
+        theta = MAXU if len(h) < _KI_K else int(h[-1])
+        return h, theta
+
+    ka, th_a = kmin("a")
+    kb, th_b = kmin("b")
+    theta = min(th_a, th_b)
+    common = np.intersect1d(ka, kb)
+    m = int((common <= np.uint64(theta)).sum())
+    est = m * (1 << 64) // theta
+    return pd.DataFrame({"est": [est], "common_k": [m]})
