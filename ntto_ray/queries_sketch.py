@@ -393,3 +393,81 @@ def sketch_kmv_intersection(sf_dir: str) -> pd.DataFrame:
     m = int((common <= np.uint64(theta)).sum())
     est = m * (1 << 64) // theta
     return pd.DataFrame({"est": [est], "common_k": [m]})
+
+
+# --- HLL registers per group ----------------------------------------------
+
+
+def _hll_group_oracle() -> str:
+    hsql = sk.splitmix64_sql("user_id")
+    p = _HLL_P
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {hsql} AS h FROM events
+),
+r AS (
+  SELECT event_type, CAST(h >> {64 - p} AS BIGINT) AS bucket,
+         CAST((CAST(h AS UHUGEINT) * {1 << p})
+              & CAST(18446744073709551615 AS UHUGEINT) AS UBIGINT) AS rest
+  FROM h
+),
+rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN rest = 0 THEN {64 - p + 1}
+              ELSE strpos(lpad(bin(rest), 64, '0'), '1') END AS rho
+  FROM r
+),
+t AS (SELECT DISTINCT event_type FROM events),
+b AS (SELECT unnest(generate_series(0, {(1 << p) - 1})) AS bucket)
+SELECT t.event_type, b.bucket,
+       CAST(COALESCE(max(rho.rho), 0) AS BIGINT) AS register
+FROM t CROSS JOIN b
+LEFT JOIN rho ON rho.event_type = t.event_type AND rho.bucket = b.bucket
+GROUP BY t.event_type, b.bucket
+""".strip()
+
+
+@register("sketch_hll_by_group", oracle=_hll_group_oracle())
+def sketch_hll_by_group(sf_dir: str):
+    """Per-event-type HLL register vectors — the grouped form of
+    sketch_hll_registers and the realistic per-domain cardinality
+    monitor at 100 TB (one mergeable 2^p-row summary per group; a day x
+    domain matrix of these unions with a plain grouped Max). Per block:
+    one register vector per event type PRESENT in the block (partial
+    volume = types_in_block x 2^p, never O(rows)); merge is a single
+    grouped Max keyed on (event_type, bucket)."""
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    _PART = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bucket", pa.int64()),
+            ("register", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return _PART.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        out = []
+        for ty in np.unique(et):
+            sub = pa.table({"user_id": t["user_id"].filter(pa.array(et == ty))})
+            regs = sk.hll_partial(sub, "user_id", _HLL_P)
+            out.append(
+                regs.append_column(
+                    "event_type",
+                    pa.array(np.full(regs.num_rows, ty, dtype=object), pa.string()),
+                )
+            )
+        return pa.concat_tables(out).select(
+            ["event_type", "bucket", "register"]
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Max("register", alias_name="register"))
+    )
