@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ntto_ray.registry import register
+from ntto_ray.stages.exchange import join_parallelism
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -438,7 +439,7 @@ def rel_hash_join_revenue(sf_dir: str):
     joined = li.join(
         orders,
         "inner",
-        num_partitions=_shuffle_parallelism(),
+        num_partitions=join_parallelism(li, orders),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

@@ -11,6 +11,7 @@ import pyarrow.compute as pc
 
 from ntto_ray.queries_rel import _cents, _read
 from ntto_ray.registry import register
+from ntto_ray.stages.exchange import join_parallelism
 
 
 # --- as-of join (event → latest order at-or-before) -----------------------
@@ -147,7 +148,7 @@ def rel_anti_join(sf_dir: str):
     return cust.join(
         urgent,
         "left_anti",
-        num_partitions=shuffle_parallelism(),
+        num_partitions=join_parallelism(cust, urgent),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -453,7 +454,7 @@ def rel_outer_join(sf_dir: str):
     joined = cust.join(
         urgent,
         "full_outer",
-        num_partitions=shuffle_parallelism(),
+        num_partitions=join_parallelism(cust, urgent),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )

@@ -13,6 +13,7 @@ import pyarrow.compute as pc
 
 from ntto_ray.queries_rel import _cents, _read
 from ntto_ray.registry import register
+from ntto_ray.stages.exchange import join_parallelism
 
 _DAY_US = 86_400 * 1_000_000
 
@@ -179,7 +180,7 @@ def rel_multiway_join(sf_dir: str):
     j1 = li_agg.join(
         orders,
         "inner",
-        num_partitions=_shuffle_parallelism(),
+        num_partitions=join_parallelism(li_agg, orders),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -205,7 +206,7 @@ def rel_multiway_join(sf_dir: str):
     j2 = j1.join(
         cust,
         "inner",
-        num_partitions=_shuffle_parallelism(),
+        num_partitions=join_parallelism(j1, cust),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -274,7 +275,7 @@ def rel_pivot_priority(sf_dir: str):
     joined = orders.join(
         cust,
         "inner",
-        num_partitions=_shuffle_parallelism(),
+        num_partitions=join_parallelism(orders, cust),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -362,7 +363,7 @@ def rel_rollup_revenue(sf_dir: str):
     joined = orders.join(
         cust,
         "inner",
-        num_partitions=_shuffle_parallelism(),
+        num_partitions=join_parallelism(orders, cust),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -459,7 +460,7 @@ def rel_semi_join(sf_dir: str):
     return cust.join(
         urgent,
         "left_semi",
-        num_partitions=_shuffle_parallelism(),
+        num_partitions=join_parallelism(cust, urgent),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -662,7 +663,7 @@ def rel_anomaly_events(sf_dir: str):
     joined = ev.join(
         mom,
         "inner",
-        num_partitions=_shuffle_parallelism(),
+        num_partitions=join_parallelism(ev, mom),
         on=("user_id",),
     )
 

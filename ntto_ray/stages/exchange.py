@@ -132,6 +132,19 @@ def adaptive_parallelism(nrows: int, *, rows_per_part: int = 250_000) -> int:
     return max(8, min(shuffle_parallelism(), (nrows + rows_per_part - 1) // rows_per_part))
 
 
+def join_parallelism(*dss: "ray.data.Dataset") -> int:
+    """Join partition count from the inputs' KNOWN row counts — every
+    join site materializes both sides first, so ``count()`` is metadata,
+    not execution. Ray's hash-join spins aggregator actors per
+    partition; at 2×CPU partitions a 32-CPU session pays ~64 actor
+    spin-ups to join a few hundred thousand rows (measured:
+    rel_multiway_join 8 s at 16 CPUs → 38-124 s at 32). At cluster
+    scale the adaptive cap binds to 2×CPUs, so behavior is unchanged
+    where it matters."""
+    n = max((ds.count() or 0) for ds in dss)
+    return adaptive_parallelism(n)
+
+
 def runs(key: np.ndarray):
     """(start, end) pairs of contiguous equal-key runs in a sorted array."""
     if len(key) == 0:
