@@ -999,3 +999,79 @@ def rel_group_p95_histogram(sf_dir: str):
         out_k.append(int(ks[i]))
         out_v.append(collected.get(i, int(blos[i])))
     return pd.DataFrame({"p": out_p, "n": out_n, "k": out_k, "p95_c": out_v})
+
+
+# --- GROUP BY CUBE (all grouping sets) -------------------------------------
+
+@register(
+    "rel_grouping_sets",
+    oracle="""
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(dayofweek(ts) AS VARCHAR), 'ALL') AS dow,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY CUBE (event_type, dayofweek(ts))
+""",
+)
+def rel_grouping_sets(sf_dir: str):
+    """GROUP BY CUBE — all four grouping sets of (event_type,
+    day-of-week) in one logical pass, the OLAP sibling of
+    rel_rollup_revenue (ROLLUP walks the hierarchy; CUBE takes every
+    subset). Same derive-from-full shape: ONE distributed aggregate at
+    full (type × dow ≤ 5×7) resolution, then the three coarser sets
+    fold from that result-scale table driver-side and union — the fact
+    table is scanned exactly once no matter how many sets. Rolled-up
+    columns render 'ALL'; day-of-week mirrors DuckDB's dayofweek via
+    Arrow's week_start=7/count_from_zero (Sunday = 0)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "dow": pc.cast(
+                    pc.day_of_week(t["ts"], week_start=7, count_from_zero=True),
+                    pa.string(),
+                ),
+                "value_c": _cents(t["value"]),
+            }
+        )
+
+    full = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(
+            Sum("value_c", alias_name="value_c"),
+            Count(alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+
+    def fold(by: list[str]) -> pd.DataFrame:
+        if by:
+            g = full.groupby(by, as_index=False)[["value_c", "n_events"]].sum()
+        else:
+            g = pd.DataFrame(
+                {
+                    "value_c": [full["value_c"].sum()],
+                    "n_events": [full["n_events"].sum()],
+                }
+            )
+        for col in ("event_type", "dow"):
+            if col not in by:
+                g[col] = "ALL"
+        return g[["event_type", "dow", "value_c", "n_events"]]
+
+    out = pd.concat(
+        [full[["event_type", "dow", "value_c", "n_events"]],
+         fold(["event_type"]), fold(["dow"]), fold([])],
+        ignore_index=True,
+    )
+    out["value_c"] = out["value_c"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
