@@ -384,3 +384,251 @@ def _late_oracle_lpa():
 
 
 _late_oracle_lpa()
+
+
+# --- deterministic random walks (DeepWalk-style walk generation) -----------
+
+_WALK_SEEDS = 20   # walks start at the lexicographically-first subjects
+_WALKS_PER = 2     # walk ids per seed
+_WALK_LEN = 4      # steps per walk
+_WALK_C1 = 0x9E3779B97F4A7C15  # walk-id mix constant
+_WALK_C2 = 0xC2B2AE3D27D4EB4F  # step mix constant
+
+
+def _md5u64_py(s: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+@register("kg_random_walks", oracle=None)  # oracle filled below
+def kg_random_walks(sf_dir: str):
+    """Walk generation for graph embeddings (DeepWalk — Perozzi et al.
+    KDD 2014): {_WALKS_PER} walks of length {_WALK_LEN} from each of the
+    {_WALK_SEEDS} lexicographically-first subjects, where step t from
+    node v picks sorted-neighbor index
+    splitmix64(md5u64(v) XOR walk*C1 XOR t*C2) mod deg(v) — the
+    hash-derandomized pick makes the walks bit-reproducible and exactly
+    SQL-mirrorable (classic DeepWalk draws from an RNG). Walks traverse
+    the UNDIRECTED graph (DeepWalk's convention; directed walks on this
+    KG would die at step 2 — most objects never appear as subjects), so
+    every step succeeds and all walks have full length.
+
+    Scale shape: the distinct-sorted adjacency (subj, idx, deg, obj)
+    builds once via the same subject-keyed exchange as characteristic
+    sets and STAYS distributed; the frontier is walk-scale (seeds ×
+    walks) by construction, so each step broadcasts the tiny frontier
+    and runs one vectorized pass over adjacency blocks — L passes, zero
+    additional exchanges, nothing node-scale on the driver."""
+    import pandas as pd
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+    from ntto_ray.stages.sketch import splitmix64
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "obj"])
+
+    _PAIRS = pa.schema([("subj", pa.string()), ("obj", pa.string())])
+    _ADJ = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("idx", pa.int64()),
+            ("deg", pa.int64()),
+            ("obj", pa.string()),
+        ]
+    )
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        # UNDIRECTED edges (DeepWalk's convention — and on this KG most
+        # objects never appear as subjects, so directed walks would die
+        # at step 2): emit both orientations, then block-local distinct.
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _PAIRS.empty_table()
+        both = pa.concat_tables(
+            [
+                t.select(["subj", "obj"]),
+                t.select(["obj", "subj"]).rename_columns(["subj", "obj"]),
+            ]
+        )
+        return both.group_by(["subj", "obj"]).aggregate([])
+
+    def adj_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _ADJ.empty_table()
+        d = t.group_by(["subj", "obj"]).aggregate([])  # whole subjects/block
+        d = d.sort_by([("subj", "ascending"), ("obj", "ascending")])
+        subj = d["subj"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(subj)
+        n = len(subj)
+        deg = np.zeros(n, dtype=np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            deg[s:e] = e - s
+            idx[s:e] -= s
+        return pa.table(
+            {
+                "subj": d["subj"],
+                "idx": pa.array(idx),
+                "deg": pa.array(deg),
+                "obj": d["obj"],
+            }
+        )
+
+    adj = (
+        hash_grouped(
+            canon.map_batches(pair_distinct, batch_format="pyarrow"), ["subj"]
+        )
+        .map_batches(
+            adj_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
+        .materialize()
+    )
+
+    def emit_subj(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return pa.schema([("s", pa.string())]).empty_table()
+        return pa.table(
+            {"s": np.unique(t["subj"].to_numpy(zero_copy_only=False))}
+        )
+
+    seeds = sorted(
+        adj.map_batches(emit_subj, batch_format="pyarrow").unique("s") or []
+    )[:_WALK_SEEDS]
+
+    frontier = pd.DataFrame(
+        [
+            {"walk": w, "seed": s, "cur": s}
+            for s in seeds
+            for w in range(_WALKS_PER)
+        ]
+    )
+    out = [frontier.assign(step=0)[["walk", "seed", "step", "cur"]]]
+
+    _STEP = pa.schema(
+        [("walk", pa.int64()), ("seed", pa.string()), ("cur", pa.string())]
+    )
+
+    for t_step in range(1, _WALK_LEN + 1):
+        if not len(frontier):
+            break
+        pre = np.array(
+            [
+                (_md5u64_py(c) ^ (w * _WALK_C1) ^ (t_step * _WALK_C2))
+                & ((1 << 64) - 1)
+                for w, c in zip(frontier["walk"], frontier["cur"])
+            ],
+            dtype=np.uint64,
+        )
+        fr = pa.table(
+            {
+                "walk": pa.array(frontier["walk"].to_numpy(), pa.int64()),
+                "seed": pa.array(frontier["seed"], pa.string()),
+                "cur": pa.array(frontier["cur"], pa.string()),
+                "pick_h": pa.array(splitmix64(pre), pa.uint64()),
+            }
+        )
+        import ray as _ray
+
+        fref = _ray.put(fr)
+
+        def step(t: pa.Table, *, ref=fref) -> pa.Table:
+            if t.num_rows == 0 or "subj" not in t.column_names:
+                return _STEP.empty_table()
+            f = _ray.get(ref)
+            subj = t["subj"].to_numpy(zero_copy_only=False)
+            mask = np.isin(f["cur"].to_numpy(zero_copy_only=False), subj)
+            if not mask.any():
+                return _STEP.empty_table()
+            idx_col = t["idx"].to_numpy()
+            deg_col = t["deg"].to_numpy()
+            obj = t["obj"].to_numpy(zero_copy_only=False)
+            order = np.argsort(subj, kind="stable")
+            walks, seeds_o, nexts = [], [], []
+            fc = f["cur"].to_numpy(zero_copy_only=False)
+            fw = f["walk"].to_numpy()
+            fs = f["seed"].to_numpy(zero_copy_only=False)
+            fh = f["pick_h"].to_numpy()
+            for i in np.flatnonzero(mask):
+                lo = np.searchsorted(subj[order], fc[i], side="left")
+                if lo >= len(order) or subj[order[lo]] != fc[i]:
+                    continue
+                row0 = order[lo]
+                # rows of this subject are contiguous in the sorted view
+                deg = int(deg_col[row0])
+                pick = int(fh[i] % np.uint64(deg))
+                j = order[lo + (pick - int(idx_col[row0]))]
+                walks.append(int(fw[i]))
+                seeds_o.append(fs[i])
+                nexts.append(obj[j])
+            return pa.table(
+                {
+                    "walk": pa.array(walks, pa.int64()),
+                    "seed": pa.array(seeds_o, pa.string()),
+                    "cur": pa.array(nexts, pa.string()),
+                }
+            )
+
+        frontier = adj.map_batches(
+            step, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        ).to_pandas()
+        out.append(frontier.assign(step=t_step)[["walk", "seed", "step", "cur"]])
+
+    res = pd.concat(out, ignore_index=True).rename(columns={"cur": "node"})
+    return res.reset_index(drop=True)
+
+
+def _late_oracle_walks():
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.pipelines.kg import pipeline_rules
+    from ntto_ray.registry import _ORACLES
+    from ntto_ray.stages.sketch import splitmix64_sql
+
+    canon = K.triples_canonical_sql(pipeline_rules())
+    hexp = "'0123456789abcdef'"
+    md5u64 = "CAST(" + " + ".join(
+        f"CAST(((strpos({hexp}, substr(mh, {2 * j + 1}, 1)) - 1) * 16"
+        f" + (strpos({hexp}, substr(mh, {2 * j + 2}, 1)) - 1)) AS HUGEINT)"
+        f" * {256 ** j}" for j in range(8)
+    ) + " AS UBIGINT)"
+    # per-walk XOR constants carried as literals (wmix = walk * C1 for
+    # the enumerated walk ids — no UBIGINT multiply needed in SQL)
+    walk_rows = ",".join(
+        f"({w}, CAST({(w * _WALK_C1) & ((1 << 64) - 1)} AS UBIGINT))"
+        for w in range(_WALKS_PER)
+    )
+    cte = [
+        f"canon AS MATERIALIZED ({canon})",
+        """adj AS MATERIALIZED (
+  SELECT subj, obj,
+         row_number() OVER (PARTITION BY subj ORDER BY obj) - 1 AS idx,
+         count(*) OVER (PARTITION BY subj) AS deg
+  FROM (SELECT DISTINCT subj, obj FROM (
+    SELECT subj, obj FROM canon
+    UNION ALL SELECT obj AS subj, subj AS obj FROM canon))
+)""",
+        f"""seeds AS (SELECT subj AS node FROM (SELECT DISTINCT subj FROM adj)
+  ORDER BY node LIMIT {_WALK_SEEDS})""",
+        f"""w0 AS MATERIALIZED (
+  SELECT w.walk, w.wmix, s.node AS seed, s.node AS cur
+  FROM seeds s CROSS JOIN (VALUES {walk_rows}) w(walk, wmix)
+)""",
+    ]
+    for t in range(1, _WALK_LEN + 1):
+        tc2 = (t * _WALK_C2) & ((1 << 64) - 1)
+        pick = splitmix64_sql(
+            f"xor(xor({md5u64}, p.wmix), CAST({tc2} AS UBIGINT))"
+        )
+        cte.append(f"""w{t} AS MATERIALIZED (
+  SELECT p.walk, p.wmix, p.seed, a.obj AS cur
+  FROM (SELECT walk, wmix, seed, cur, md5(cur) AS mh FROM w{t - 1}) p
+  JOIN adj a ON a.subj = p.cur
+  WHERE a.idx = CAST({pick} % CAST(a.deg AS UBIGINT) AS BIGINT)
+)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT walk, seed, CAST({t} AS BIGINT) AS step, cur AS node FROM w{t}"
+        for t in range(_WALK_LEN + 1)
+    )
+    _ORACLES["kg_random_walks"] = "WITH " + ",\n".join(cte) + "\n" + sel
+
+
+_late_oracle_walks()
