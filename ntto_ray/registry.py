@@ -69,5 +69,8 @@ def _load():
     from ntto_ray import queries_rel_ext  # noqa: F401
     from ntto_ray import queries_rel_win  # noqa: F401
     from ntto_ray import queries_graph_ext  # noqa: F401
+    # round-3 extension ops register LAST: if the driver's budget ever
+    # truncates the walk again, only the newest (least-proven) rows drop.
+    from ntto_ray import queries_llm_ext  # noqa: F401
 
     _LOADED = True
