@@ -321,3 +321,316 @@ def rel_lag_delta(sf_dir: str):
     return grouped.map_batches(
         gap_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
     )
+
+
+# --- incremental batch-vs-corpus dedup ---------------------------------------
+
+_INC_KEY_SQL = (
+    "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')"
+)
+
+_INC_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, {_INC_KEY_SQL} AS kk FROM documents
+)
+SELECT n.doc_id AS doc_id, CAST(min(e.doc_id) AS BIGINT) AS dup_of
+FROM k n JOIN k e ON e.kk = n.kk AND e.doc_id % 10 < 8
+WHERE n.doc_id % 10 >= 8
+GROUP BY n.doc_id
+""".strip()
+
+
+@register("dedup_incremental", oracle=_INC_ORACLE)
+def dedup_incremental(sf_dir: str):
+    """Incremental dedup of a NEW document batch against an EXISTING
+    corpus — the production shape where yesterday's corpus is fixed and
+    only today's crawl must be checked. Membership key: the sorted
+    distinct token set (bag-of-words identity — catches reordered /
+    shuffled near-copies exact hashing misses). Split rule: doc_id%10
+    >= 8 is the new batch.
+
+    Plan: block-local vectorized key build (flat split → distinct
+    (doc, token) pairs → sorted runs + ListArray + binary_join, the
+    characteristic-sets kernel) → ONE key-keyed hash exchange of
+    (key, doc_id, is_new) rows — the corpus is NEVER broadcast, both
+    sides co-locate by key — → per-run min-existing-doc match. At 100 TB
+    the key string would ship as a 128-bit hash; test scale keeps the
+    string so the oracle is a plain SQL join."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    _KEYED = pa.schema(
+        [("key", pa.string()), ("doc_id", pa.int64()), ("is_new", pa.bool_())]
+    )
+    _OUT = pa.schema([("doc_id", pa.int64()), ("dup_of", pa.int64())])
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return _KEYED.empty_table()
+        la = pc.split_pattern(t["text"], " ").combine_chunks()
+        offs = la.offsets.to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(la)), np.diff(offs))
+        pairs = (
+            pa.table({"i": doc_idx, "tok": la.flatten()})
+            .group_by(["i", "tok"])
+            .aggregate([])
+            .sort_by([("i", "ascending"), ("tok", "ascending")])
+        )
+        i = pairs["i"].to_numpy()
+        starts, _ends = runs(i)
+        offsets = np.concatenate([starts, [len(i)]]).astype(np.int32)
+        keys = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pairs["tok"].combine_chunks()
+            ),
+            " ",
+        )
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[i[starts]]
+        return pa.table(
+            {
+                "key": keys,
+                "doc_id": pa.array(doc, pa.int64()),
+                "is_new": pa.array(doc % 10 >= 8),
+            }
+        )
+
+    def match_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _OUT.empty_table()
+        d = t.sort_by([("key", "ascending"), ("doc_id", "ascending")])
+        key = d["key"].to_numpy(zero_copy_only=False)
+        doc = d["doc_id"].to_numpy(zero_copy_only=False)
+        new = d["is_new"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(key)
+        sentinel = np.iinfo(np.int64).max
+        min_exist = np.minimum.reduceat(np.where(new, sentinel, doc), starts)
+        dup_of = min_exist[np.repeat(np.arange(len(starts)), ends - starts)]
+        mask = new & (dup_of != sentinel)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[mask], pa.int64()),
+                "dup_of": pa.array(dup_of[mask], pa.int64()),
+            }
+        )
+
+    keyed = docs.map_batches(key_partial, batch_format="pyarrow")
+    grouped = hash_grouped(keyed, ["key"])
+    return grouped.map_batches(
+        match_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+# --- duplicated-substring span detection -------------------------------------
+
+_SPAN_N = 8  # tokens per gram — spans shorter than this are not flagged
+
+
+def _span_oracle() -> str:
+    """Bit-exact DuckDB mirror of dedup_substring_spans: md5[:8]-LE
+    token hashes → 8-token rolling gram hashes (the MinHash shingle
+    fold: mul-xor chain + splitmix64 finalizer, stages/dedup.py:587) →
+    grams in ≥2 distinct docs → per-doc gaps-and-islands span merge."""
+    from ntto_ray.stages.dedup import _SHINGLE_PRIME
+
+    N = _SPAN_N
+    M = f"CAST({(1 << 64) - 1} AS UHUGEINT)"
+    P = int(_SHINGLE_PRIME)
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+
+    def mul(e: str, c) -> str:
+        return f"CAST((CAST(({e}) AS UHUGEINT) * {c}) & {M} AS UBIGINT)"
+
+    step = f"xor({mul('x', P)}, y)"
+
+    def mix64(e: str) -> str:
+        t0 = f"xor({e}, ({e}) >> 30)"
+        t1 = mul(t0, C1)
+        t2 = f"xor({t1}, ({t1}) >> 27)"
+        t3 = mul(t2, C2)
+        return f"xor(({t3}), ({t3}) >> 31)"
+
+    hexp = "'0123456789abcdef'"
+    md5u64 = "CAST(" + " + ".join(
+        f"CAST(((strpos({hexp}, substr(mh, {2 * j + 1}, 1)) - 1) * 16"
+        f" + (strpos({hexp}, substr(mh, {2 * j + 2}, 1)) - 1)) AS HUGEINT)"
+        f" * {256 ** j}" for j in range(8)
+    ) + " AS UBIGINT)"
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(generate_series(1, len(l))) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+vh AS MATERIALIZED (
+  SELECT tok, {md5u64} AS h
+  FROM (SELECT tok, md5(tok) AS mh FROM (SELECT DISTINCT tok FROM tok))
+),
+th AS (SELECT doc_id, pos, v.h FROM tok JOIN vh v USING (tok)),
+hl AS (SELECT doc_id, list(h ORDER BY pos) AS hl FROM th GROUP BY doc_id),
+raws AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(hl) >= {N} THEN
+      [list_reduce(hl[i:i+{N - 1}], (x, y) -> {step})
+       for i in generate_series(1, len(hl) - {N - 1})]
+      ELSE CAST([] AS UBIGINT[]) END) AS r,
+    unnest(CASE WHEN len(hl) >= {N} THEN
+      [CAST(i - 1 AS BIGINT) for i in generate_series(1, len(hl) - {N - 1})]
+      ELSE CAST([] AS BIGINT[]) END) AS pos
+  FROM hl
+),
+gh AS (SELECT doc_id, pos, CAST({mix64('r')} >> 1 AS BIGINT) AS g FROM raws),
+dup AS (SELECT g FROM gh GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+hit AS (SELECT doc_id, pos FROM gh JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {N} THEN 0 ELSE 1 END AS brk
+  FROM hit
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+  FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+       CAST(max(pos) + {N - 1} AS BIGINT) AS end_pos
+FROM grp GROUP BY doc_id, isl_id
+""".strip()
+
+
+@register("dedup_substring_spans", oracle=_span_oracle())
+def dedup_substring_spans(sf_dir: str):
+    """Duplicated-substring span detection (Lee et al., ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal token span of length ≥ {_SPAN_N} that occurs in ≥ 2
+    distinct documents — the spans that paper CUTS from LM training
+    text. The distributed shape is a positional n-gram inverted index
+    (the suffix array of the single-node original doesn't shard), the
+    standard web-scale substitute:
+
+      1. per-block vectorized gram emit — md5 token hashes (unique-token
+         cache in actor state, MinHash convention) → 8-token rolling
+         mul-xor fold + splitmix64 finalizer → (gram_hash, doc, pos);
+         the 64-bit hash ships instead of the 8-token string (~8× byte
+         amplification avoided; the oracle mirrors the hash chain
+         bit-for-bit, so collisions — if any — match too);
+      2. ONE gram-keyed hash exchange → runs with ≥ 2 distinct docs emit
+         their (doc, pos) rows;
+      3. ONE doc-keyed exchange (reserve_cpus=False — chained-exchange
+         deadlock, stages/exchange.py) → per-doc sorted gaps-and-islands
+         merge: positions ≤ {_SPAN_N} apart fuse into one maximal span.
+    """
+    import hashlib
+
+    from ntto_ray.stages.dedup import _SHINGLE_PRIME, _U, _mix64
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    N = _SPAN_N
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    _GRAMS = pa.schema(
+        [("g", pa.int64()), ("doc_id", pa.int64()), ("pos", pa.int64())]
+    )
+    _HITS = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("start_pos", pa.int64()),
+         ("end_pos", pa.int64())]
+    )
+
+    class GramEmitter:
+        def __init__(self):
+            self._cache: dict[str, int] = {}
+
+        def _token_hashes(self, flat: np.ndarray) -> np.ndarray:
+            uniq, inv = np.unique(flat, return_inverse=True)
+            cache = self._cache
+            uh = np.empty(len(uniq), dtype=_U)
+            for i, tk in enumerate(uniq):
+                h = cache.get(tk)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.md5(tk.encode()).digest()[:8], "little"
+                    )
+                    cache[tk] = h
+                uh[i] = h
+            return uh[inv]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "text" not in t.column_names:
+                return _GRAMS.empty_table()
+            la = pc.split_pattern(t["text"], " ").combine_chunks()
+            offs = la.offsets.to_numpy().astype(np.int64)
+            flat = la.flatten().to_numpy(zero_copy_only=False)
+            T = len(flat)
+            if T < N:
+                return _GRAMS.empty_table()
+            h = self._token_hashes(flat)
+            s = h[: T - N + 1].copy()
+            for j in range(1, N):
+                s = s * _SHINGLE_PRIME ^ h[j : T - N + 1 + j]
+            doc_of = np.repeat(np.arange(len(la)), np.diff(offs))
+            valid = doc_of[: T - N + 1] == doc_of[N - 1 :]
+            vs = np.flatnonzero(valid)
+            if len(vs) == 0:
+                return _GRAMS.empty_table()
+            g = (_mix64(s[vs]) >> _U(1)).astype(np.int64)
+            d_idx = doc_of[vs]
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)[d_idx]
+            return pa.table(
+                {
+                    "g": pa.array(g),
+                    "doc_id": pa.array(doc, pa.int64()),
+                    "pos": pa.array(vs - offs[d_idx], pa.int64()),
+                }
+            )
+
+    def dup_hits(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "g" not in t.column_names:
+            return _HITS.empty_table()
+        d = t.sort_by([("g", "ascending"), ("doc_id", "ascending")])
+        g = d["g"].to_numpy(zero_copy_only=False)
+        doc = d["doc_id"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(g)
+        first = np.ones(len(g), dtype=np.int64)
+        first[1:] = (doc[1:] != doc[:-1]) | (g[1:] != g[:-1])
+        n_docs = np.add.reduceat(first, starts)
+        row_mask = (n_docs >= 2)[np.repeat(np.arange(len(starts)), ends - starts)]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[row_mask], pa.int64()),
+                "pos": d["pos"].combine_chunks().filter(
+                    pa.array(row_mask)
+                ),
+            }
+        )
+
+    def merge_spans(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return _OUT.empty_table()
+        d = t.sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+        doc = d["doc_id"].to_numpy(zero_copy_only=False)
+        pos = d["pos"].to_numpy(zero_copy_only=False)
+        brk = np.ones(len(doc), dtype=bool)
+        brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > N)
+        isl = np.flatnonzero(brk)
+        isl_end = np.concatenate([isl[1:], [len(doc)]])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[isl], pa.int64()),
+                "start_pos": pa.array(pos[isl], pa.int64()),
+                "end_pos": pa.array(pos[isl_end - 1] + N - 1, pa.int64()),
+            }
+        )
+
+    grams = docs.map_batches(
+        GramEmitter, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    hits = hash_grouped(grams, ["g"]).map_batches(
+        dup_hits, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+    spans = hash_grouped(hits, ["doc_id"], reserve_cpus=False).map_batches(
+        merge_spans, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+    return spans
