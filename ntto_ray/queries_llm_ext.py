@@ -634,3 +634,52 @@ def dedup_substring_spans(sf_dir: str):
         merge_spans, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
     )
     return spans
+
+
+# --- ANN recall evaluation ----------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    ex = _ORACLES["ann_bruteforce_topk"].strip()
+    ap = _ORACLES["ann_lsh_topk"].strip()
+    return f"""
+WITH ex AS MATERIALIZED ({ex}),
+ap AS MATERIALIZED ({ap}),
+hits AS (
+  SELECT ex.qid, count(*) AS n
+  FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+  GROUP BY ex.qid
+)
+SELECT q.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) * 10 AS BIGINT) AS recall_pct
+FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN hits h USING (qid)
+""".strip()
+
+
+@register("ann_recall_eval", oracle=_recall_oracle())
+def ann_recall_eval(sf_dir: str):
+    """Retrieval-quality evaluation: recall@10 of the hyperplane-LSH
+    index against exact brute-force cosine top-10, per query — the
+    metric every ANN deployment tunes nbits/nprobe against. Runs both
+    engine paths (broadcast queries, batch-local top-k) and intersects
+    the two result-scale top-k sets driver-side (n_queries × k rows —
+    bounded by construction, not data-scale)."""
+    import pandas as pd
+
+    from ntto_ray.queries_text import _emb, _query_matrix
+    from ntto_ray.stages.ann import brute_force_topk, lsh_topk
+
+    ids, m = _query_matrix(sf_dir)
+    exact = brute_force_topk(_emb(sf_dir), ids, m, k=10).to_pandas()
+    approx = lsh_topk(_emb(sf_dir), ids, m, k=10, dim=m.shape[1]).to_pandas()
+    inter = exact.merge(approx, on=["qid", "vec_id"])
+    n = inter.groupby("qid").size()
+    qids = sorted(exact["qid"].unique())
+    n_hits = pd.Series(n, index=qids).fillna(0).astype("int64")
+    return pd.DataFrame(
+        {
+            "qid": qids,
+            "n_hits": n_hits.to_numpy(),
+            "recall_pct": (n_hits * 10).to_numpy(),
+        }
+    )
