@@ -139,6 +139,10 @@ def run_bench() -> dict:
         "kg_characteristic_sets",
         "kg_lpa_communities",
         "ann_knn_join",
+        "dedup_substring_spans",
+        "dedup_incremental",
+        "kg_pred_paths",
+        "kg_entity_cards",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)

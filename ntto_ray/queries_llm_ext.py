@@ -426,6 +426,45 @@ def dedup_incremental(sf_dir: str):
 _SPAN_N = 8  # tokens per gram — spans shorter than this are not flagged
 
 
+def _gram_hashes(text_col, n: int, cache: dict):
+    """Rolling n-token gram hashes over a text column: md5[:8]-LE token
+    hashes (computed once per unique token, ``cache`` is actor-lifetime
+    state) → mul-xor fold → splitmix64 finalizer → top-63-bit int64 keys.
+    Returns (g, row_index, pos_in_row) numpy arrays; grams never cross
+    row boundaries. Identical chain to the MinHash shingle hashes
+    (stages/dedup.py:587), mirrored in SQL by _span_oracle."""
+    import hashlib
+
+    from ntto_ray.stages.dedup import _SHINGLE_PRIME, _U, _mix64
+
+    la = pc.split_pattern(text_col, " ").combine_chunks()
+    offs = la.offsets.to_numpy().astype(np.int64)
+    flat = la.flatten().to_numpy(zero_copy_only=False)
+    T = len(flat)
+    empty = np.empty(0, np.int64)
+    if T < n:
+        return empty, empty, empty
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uh = np.empty(len(uniq), dtype=_U)
+    for i, tk in enumerate(uniq):
+        h = cache.get(tk)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(tk.encode()).digest()[:8], "little")
+            cache[tk] = h
+        uh[i] = h
+    h = uh[inv]
+    s = h[: T - n + 1].copy()
+    for j in range(1, n):
+        s = s * _SHINGLE_PRIME ^ h[j : T - n + 1 + j]
+    doc_of = np.repeat(np.arange(len(la)), np.diff(offs))
+    vs = np.flatnonzero(doc_of[: T - n + 1] == doc_of[n - 1 :])
+    if len(vs) == 0:
+        return empty, empty, empty
+    g = (_mix64(s[vs]) >> _U(1)).astype(np.int64)
+    d_idx = doc_of[vs]
+    return g, d_idx, vs - offs[d_idx]
+
+
 def _span_oracle() -> str:
     """Bit-exact DuckDB mirror of dedup_substring_spans: md5[:8]-LE
     token hashes → 8-token rolling gram hashes (the MinHash shingle
@@ -522,9 +561,6 @@ def dedup_substring_spans(sf_dir: str):
          deadlock, stages/exchange.py) → per-doc sorted gaps-and-islands
          merge: positions ≤ {_SPAN_N} apart fuse into one maximal span.
     """
-    import hashlib
-
-    from ntto_ray.stages.dedup import _SHINGLE_PRIME, _U, _mix64
     from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
 
     N = _SPAN_N
@@ -543,46 +579,18 @@ def dedup_substring_spans(sf_dir: str):
         def __init__(self):
             self._cache: dict[str, int] = {}
 
-        def _token_hashes(self, flat: np.ndarray) -> np.ndarray:
-            uniq, inv = np.unique(flat, return_inverse=True)
-            cache = self._cache
-            uh = np.empty(len(uniq), dtype=_U)
-            for i, tk in enumerate(uniq):
-                h = cache.get(tk)
-                if h is None:
-                    h = int.from_bytes(
-                        hashlib.md5(tk.encode()).digest()[:8], "little"
-                    )
-                    cache[tk] = h
-                uh[i] = h
-            return uh[inv]
-
         def __call__(self, t: pa.Table) -> pa.Table:
             if t.num_rows == 0 or "text" not in t.column_names:
                 return _GRAMS.empty_table()
-            la = pc.split_pattern(t["text"], " ").combine_chunks()
-            offs = la.offsets.to_numpy().astype(np.int64)
-            flat = la.flatten().to_numpy(zero_copy_only=False)
-            T = len(flat)
-            if T < N:
+            g, d_idx, pos = _gram_hashes(t["text"], N, self._cache)
+            if len(g) == 0:
                 return _GRAMS.empty_table()
-            h = self._token_hashes(flat)
-            s = h[: T - N + 1].copy()
-            for j in range(1, N):
-                s = s * _SHINGLE_PRIME ^ h[j : T - N + 1 + j]
-            doc_of = np.repeat(np.arange(len(la)), np.diff(offs))
-            valid = doc_of[: T - N + 1] == doc_of[N - 1 :]
-            vs = np.flatnonzero(valid)
-            if len(vs) == 0:
-                return _GRAMS.empty_table()
-            g = (_mix64(s[vs]) >> _U(1)).astype(np.int64)
-            d_idx = doc_of[vs]
             doc = t["doc_id"].to_numpy(zero_copy_only=False)[d_idx]
             return pa.table(
                 {
                     "g": pa.array(g),
                     "doc_id": pa.array(doc, pa.int64()),
-                    "pos": pa.array(vs - offs[d_idx], pa.int64()),
+                    "pos": pa.array(pos, pa.int64()),
                 }
             )
 
@@ -640,6 +648,11 @@ def dedup_substring_spans(sf_dir: str):
 
 
 def _recall_oracle() -> str:
+    # registers the two source oracles — REQUIRED when this module is
+    # imported standalone (e.g. cloudpickle re-import on a Ray worker)
+    # rather than via registry._load's ordered walk
+    from ntto_ray import queries_text  # noqa: F401
+
     ex = _ORACLES["ann_bruteforce_topk"].strip()
     ap = _ORACLES["ann_lsh_topk"].strip()
     return f"""
@@ -682,4 +695,228 @@ def ann_recall_eval(sf_dir: str):
             "n_hits": n_hits.to_numpy(),
             "recall_pct": (n_hits * 10).to_numpy(),
         }
+    )
+
+
+# --- cross-source contamination matrix ---------------------------------------
+
+
+def _contam_oracle() -> str:
+    """Same gram-hash chain as _span_oracle, aggregated to the
+    source-pair level: distinct shared 8-gram hashes per source pair."""
+    body = _span_oracle()
+    # reuse everything up to and including the gh CTE (ends "...),"),
+    # then re-aggregate at the source-pair level instead of dup/hit/span
+    head, _, _ = body.partition("\ndup AS")
+    return f"""{head}
+gs AS (
+  SELECT DISTINCT d.source, g.g
+  FROM gh g JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
+""".strip()
+
+
+@register("text_contamination_matrix", oracle=_contam_oracle())
+def text_contamination_matrix(sf_dir: str):
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of DISTINCT 8-token grams occurring in both —
+    the report a curation team reads before mixing crawls (which feeds
+    overlap which benchmark?). Plan: block-local distinct (gram-hash,
+    source) pairs (the gram never ships as a string) → ONE gram-keyed
+    exchange → per-run sorted-distinct sources expand to C(s,2) pair
+    partials (bounded by the SOURCE vocabulary, not doc count) →
+    source²-scale Sum."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    _GS = pa.schema([("g", pa.int64()), ("source", pa.string())])
+    _PAIRS = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    class GramSources:
+        def __init__(self):
+            self._cache: dict[str, int] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "text" not in t.column_names:
+                return _GS.empty_table()
+            g, d_idx, _pos = _gram_hashes(t["text"], _SPAN_N, self._cache)
+            if len(g) == 0:
+                return _GS.empty_table()
+            src = t["source"].combine_chunks().take(pa.array(d_idx, pa.int64()))
+            return (
+                pa.table({"g": pa.array(g), "source": src})
+                .group_by(["g", "source"])
+                .aggregate([])
+            )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "g" not in t.column_names:
+            return _PAIRS.empty_table()
+        # rows of one gram may arrive from several blocks — re-distinct,
+        # then expand each gram's sorted source set into ordered pairs.
+        d = (
+            t.group_by(["g", "source"])
+            .aggregate([])
+            .sort_by([("g", "ascending"), ("source", "ascending")])
+        )
+        g = d["g"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(g)
+        cnt = ends - starts
+        pairs = cnt * (cnt - 1) // 2
+        total = int(pairs.sum())
+        if total == 0:
+            return _PAIRS.empty_table()
+        run_of = np.repeat(np.arange(len(starts)), pairs)
+        off = np.concatenate([[0], np.cumsum(pairs)[:-1]])
+        local = np.arange(total) - off[run_of]
+        # triangular index: local -> (i, j) with i < j in the run
+        c = cnt[run_of].astype(np.float64)
+        i = np.floor(
+            c - 0.5 - np.sqrt((c - 0.5) ** 2 - 2.0 * local - 1e-9)
+        ).astype(np.int64)
+        j = (local - (i * (2 * cnt[run_of] - i - 1)) // 2 + i + 1).astype(
+            np.int64
+        )
+        src = d["source"].combine_chunks()
+        part = pa.table(
+            {
+                "source_a": src.take(pa.array(starts[run_of] + i)),
+                "source_b": src.take(pa.array(starts[run_of] + j)),
+                "n": pa.array(np.ones(total, np.int64)),
+            }
+        )
+        gp = part.group_by(["source_a", "source_b"]).aggregate([("n", "sum")])
+        return gp.rename_columns(["source_a", "source_b", "n"])
+
+    gs = docs.map_batches(GramSources, batch_format="pyarrow", concurrency=(1, 4))
+    grouped = hash_grouped(gs, ["g"])
+    partials = grouped.map_batches(
+        pair_partial, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+    return partials.groupby(["source_a", "source_b"]).aggregate(
+        Sum("n", alias_name="shared_grams")
+    )
+
+
+# --- training-shard packing plan (distributed prefix sum) --------------------
+
+_SHARD_TOKENS = 4096
+
+
+_SHARD_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM n
+)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+       CAST((cum - n_tokens) // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+FROM c
+""".strip()
+
+
+@register("corpus_shard_plan", oracle=_SHARD_ORACLE)
+def corpus_shard_plan(sf_dir: str):
+    """Training-shard packing plan: assign every document (in doc_id
+    order) to a contiguous ~{_SHARD_TOKENS}-token shard — the layout
+    step before writing packed LM training sequences. The primitive is
+    a DISTRIBUTED PREFIX SUM (scan), which Ray Data has no operator
+    for: pass 1 computes per-bucket token totals (one tiny grouped Sum
+    at bucket scale), the driver prefix-sums the bucket totals (bucket
+    count = ceil(n_docs / _SHARD_BUCKET) — bounded driver state,
+    same budget as SUBJ_BUCKETS) and broadcasts the offsets; pass 2 is
+    ONE bucket-keyed exchange + per-bucket sorted cumsum + offset."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    _SHARD_BUCKET = 4096  # docs per scan bucket
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    _TOK = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("bucket", pa.int64())]
+    )
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("cum_tokens", pa.int64()), ("shard_id", pa.int64())]
+    )
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return _TOK.empty_table()
+        la = pc.split_pattern(t["text"], " ").combine_chunks()
+        n = np.diff(la.offsets.to_numpy().astype(np.int64))
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "n_tokens": pa.array(n),
+                "bucket": pa.array(doc // _SHARD_BUCKET, pa.int64()),
+            }
+        )
+
+    toks = docs.map_batches(tok_counts, batch_format="pyarrow").materialize()
+
+    # pass 1: bucket totals → driver prefix sum (bucket-scale state)
+    from ray.data.aggregate import Sum
+
+    btot = (
+        toks.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="tot"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = btot["bucket"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(btot["tot"].to_numpy())[:-1]])
+    off_ref = ray.put(
+        {int(b): int(o) for b, o in zip(buckets, offsets)}
+    )
+
+    def scan_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return _OUT.empty_table()
+        offs = ray.get(off_ref)
+        d = t.sort_by([("bucket", "ascending"), ("doc_id", "ascending")])
+        bkt = d["bucket"].to_numpy(zero_copy_only=False)
+        n = d["n_tokens"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(n)
+        # restart the cumsum at each bucket boundary (subtract the
+        # running total just before the run), add the bucket's global
+        # offset from pass 1
+        from ntto_ray.stages.exchange import runs as _runs
+
+        starts, ends = _runs(bkt)
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        prev = np.where(starts > 0, cum[starts - 1], 0)
+        local = cum - prev[run_of]
+        goff = np.array([offs[int(b)] for b in bkt[starts]], np.int64)[run_of]
+        cumg = local + goff
+        return pa.table(
+            {
+                "doc_id": d["doc_id"],
+                "n_tokens": d["n_tokens"],
+                "cum_tokens": pa.array(cumg, pa.int64()),
+                "shard_id": pa.array((cumg - n) // _SHARD_TOKENS, pa.int64()),
+            }
+        )
+
+    grouped = hash_grouped(toks, ["bucket"], reserve_cpus=False)
+    return grouped.map_batches(
+        scan_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
     )
