@@ -920,3 +920,288 @@ def corpus_shard_plan(sf_dir: str):
     return grouped.map_batches(
         scan_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
     )
+
+
+# --- NTILE window function ----------------------------------------------------
+
+_NTILE_K = 4
+
+_NTILE_ORACLE = f"""
+SELECT c_custkey,
+       CAST(c_nationkey AS BIGINT) AS nation,
+       CAST(ntile({_NTILE_K}) OVER (
+         PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+       ) AS BIGINT) AS quartile
+FROM customer
+""".strip()
+
+
+@register("rel_ntile", oracle=_NTILE_ORACLE)
+def rel_ntile(sf_dir: str):
+    """NTILE({_NTILE_K}) window function: account-balance quartiles of
+    customers within each nation. ONE nation-keyed exchange → per-group
+    sort → vectorized NTILE bucket formula (first n%k buckets take the
+    extra row, exactly DuckDB's semantics). Per-group state is the
+    group's rank vector; a group too large for one block would use the
+    corpus_shard_plan two-pass rank (bucket counts → offset broadcast)
+    — documented trade-off, nations are bounded here."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    _OUT = pa.schema(
+        [("c_custkey", pa.int64()), ("nation", pa.int64()),
+         ("quartile", pa.int64())]
+    )
+
+    def ntile_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_custkey" not in t.column_names:
+            return _OUT.empty_table()
+        d = t.sort_by(
+            [
+                ("c_nationkey", "ascending"),
+                ("c_acctbal", "ascending"),
+                ("c_custkey", "ascending"),
+            ]
+        )
+        nat = d["c_nationkey"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(nat)
+        n = ends - starts
+        r = np.arange(len(nat)) - starts[
+            np.repeat(np.arange(len(starts)), n)
+        ]  # rank within group
+        nn = n[np.repeat(np.arange(len(starts)), n)]
+        size, rem = nn // _NTILE_K, nn % _NTILE_K
+        big = rem * (size + 1)
+        q = np.where(
+            r < big, r // np.maximum(size + 1, 1),
+            rem + (r - big) // np.maximum(size, 1),
+        )
+        return pa.table(
+            {
+                "c_custkey": pc.cast(d["c_custkey"], pa.int64()),
+                "nation": pa.array(nat.astype(np.int64)),
+                "quartile": pa.array((q + 1).astype(np.int64)),
+            }
+        )
+
+    grouped = hash_grouped(cust, ["c_nationkey"])
+    return grouped.map_batches(
+        ntile_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+# --- windowed streaming event dedup -------------------------------------------
+
+_EVDD_WINDOW_US = 300_000_000  # 5 minutes
+
+_EVDD_ORACLE = f"""
+WITH g AS (
+  SELECT event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS d
+  FROM events
+)
+SELECT event_id FROM g WHERE d IS NULL OR d > {_EVDD_WINDOW_US}
+""".strip()
+
+
+@register("rel_event_dedup_window", oracle=_EVDD_ORACLE)
+def rel_event_dedup_window(sf_dir: str):
+    """Windowed event dedup — the streaming-ingest dedup shape: drop an
+    event when the SAME (user, event_type) fired within the previous
+    5 minutes (lag-window variant: gap measured to the previous event,
+    kept or not). ONE (user, type)-keyed exchange → per-block sort →
+    vectorized gap mask. Output is the kept event ids."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    _OUT = pa.schema([("event_id", pa.int64())])
+
+    def dedup_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return _OUT.empty_table()
+        d = t.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        user = d["user_id"].to_numpy(zero_copy_only=False)
+        typ = d["event_type"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(d["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(user), dtype=bool)
+        if len(user) > 1:
+            same = (user[1:] == user[:-1]) & (typ[1:] == typ[:-1])
+            keep[1:] = ~same | (ts_us[1:] - ts_us[:-1] > _EVDD_WINDOW_US)
+        return pa.table(
+            {
+                "event_id": pc.cast(d["event_id"], pa.int64()).filter(
+                    pa.array(keep)
+                )
+            }
+        )
+
+    grouped = hash_grouped(ev, ["user_id", "event_type"])
+    return grouped.map_batches(
+        dedup_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+# --- star join over part / supplier / nation / region ------------------------
+
+_PRR_ORACLE = """
+SELECT r.r_name AS region, p.p_brand AS brand,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4
+FROM lineitem
+JOIN part p     ON l_partkey = p.p_partkey
+JOIN supplier s ON l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""".strip()
+
+
+@register("rel_part_region_revenue", oracle=_PRR_ORACLE)
+def rel_part_region_revenue(sf_dir: str):
+    """TPC-H Q9-flavored star join: revenue per (supplier region, part
+    brand) through lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ region. Scale
+    shape: lineitem is pre-aggregated map-side to distinct (partkey,
+    suppkey) partials BEFORE the first shuffle; part and supplier — the
+    two SF-scaling dims — join as hash exchanges (never broadcast, the
+    round-2 verdict's dim-broadcast lesson); only the CONSTANT-size
+    nation (25) and region (5) tables fold in map-side; the second join
+    input is already (brand × suppkey)-scale."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.stages.exchange import conform, join_parallelism
+
+    def cents(arr) -> pa.Array:
+        return pc.cast(
+            pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64()
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, type=pa.int64()), cents(t["l_discount"])),
+        )
+        g = (
+            pa.table(
+                {
+                    "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                    "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                    "rev_c4": rev,
+                }
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("rev_c4", "sum")])
+        )
+        return g.rename_columns(["l_partkey", "l_suppkey", "rev_c4"])
+
+    part = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                    "p_brand": t["p_brand"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow").materialize()
+    j1 = li_agg.join(
+        part,
+        "inner",
+        num_partitions=join_parallelism(li_agg, part),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+    j1_schema = pa.schema(
+        [("l_suppkey", pa.int64()), ("p_brand", pa.string()),
+         ("rev_c4", pa.int64())]
+    )
+
+    def brand_partial(t: pa.Table) -> pa.Table:
+        t = conform(t, j1_schema)
+        if t.num_rows == 0:
+            return j1_schema.empty_table()
+        g = t.group_by(["l_suppkey", "p_brand"]).aggregate([("rev_c4", "sum")])
+        return g.rename_columns(["l_suppkey", "p_brand", "rev_c4"])
+
+    j1 = j1.map_batches(brand_partial, batch_format="pyarrow").materialize()
+
+    # constant-size dims fold into the supplier scan map-side
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    nk = nat["n_nationkey"].cast(pa.int64())
+    nreg = nat["n_regionkey"].cast(pa.int64())
+    rk = reg["r_regionkey"].cast(pa.int64())
+    rname = reg["r_name"]
+
+    def supp_region(t: pa.Table) -> pa.Table:
+        snat = pc.cast(t["s_nationkey"], pa.int64())
+        r_of_n = pc.take(nreg, pc.index_in(snat, nk))
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "region": pc.take(rname, pc.index_in(r_of_n, rk)),
+            }
+        )
+
+    supp = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(supp_region, batch_format="pyarrow")
+        .materialize()
+    )
+    j2 = j1.join(
+        supp,
+        "inner",
+        num_partitions=join_parallelism(j1, supp),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+    j2_schema = pa.schema(
+        [("region", pa.string()), ("p_brand", pa.string()),
+         ("rev_c4", pa.int64())]
+    )
+    return (
+        j2.map_batches(
+            lambda t: conform(
+                t.select(["region", "p_brand", "rev_c4"])
+                if t.num_rows
+                else t,
+                j2_schema,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["region", "p_brand"])
+        .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+        .map_batches(
+            lambda t: t.rename_columns(["region", "brand", "revenue_c4"]),
+            batch_format="pyarrow",
+        )
+    )
