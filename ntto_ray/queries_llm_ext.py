@@ -832,7 +832,7 @@ FROM c
 
 
 @register("corpus_shard_plan", oracle=_SHARD_ORACLE)
-def corpus_shard_plan(sf_dir: str):
+def corpus_shard_plan(sf_dir: str, *, bucket_docs: int = 4096):
     """Training-shard packing plan: assign every document (in doc_id
     order) to a contiguous ~{_SHARD_TOKENS}-token shard — the layout
     step before writing packed LM training sequences. The primitive is
@@ -844,7 +844,7 @@ def corpus_shard_plan(sf_dir: str):
     ONE bucket-keyed exchange + per-bucket sorted cumsum + offset."""
     from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
 
-    _SHARD_BUCKET = 4096  # docs per scan bucket
+    _SHARD_BUCKET = bucket_docs  # docs per scan bucket
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 

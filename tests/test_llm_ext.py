@@ -1,0 +1,71 @@
+"""Regime tests for the round-3 extension operators (queries_llm_ext):
+paths the sf0.001 oracle sweep can't reach — the multi-bucket branch of
+the distributed prefix sum, NTILE remainder arithmetic, and span-merge
+boundary behavior."""
+
+import numpy as np
+import pandas as pd
+
+from ntto_ray.queries_llm_ext import corpus_shard_plan
+from tests.conftest import SF_SMALL
+
+
+def test_shard_plan_multibucket_matches_single(ray_session, duck):
+    """bucket_docs=16 forces ~4 buckets at sf0.001 (50 docs) — the
+    bucket-offset broadcast + per-bucket cumsum restart path — and must
+    produce the identical global prefix sum as the SQL window."""
+    got = (
+        corpus_shard_plan(SF_SMALL, bucket_docs=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duck.execute(
+        """
+WITH n AS (
+  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM n
+)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+       CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard_id
+FROM c ORDER BY doc_id
+"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the forced-regime invariant: cum_tokens is globally monotone and
+    # ends at the corpus token total
+    assert (np.diff(got["cum_tokens"].to_numpy()) > 0).all()
+    assert got["cum_tokens"].iloc[-1] == got["n_tokens"].sum()
+
+
+def test_ntile_remainder_semantics():
+    """The vectorized NTILE bucket formula must match DuckDB's: the
+    first n % k buckets take one extra row."""
+    import duckdb
+
+    rng = np.random.RandomState(3)
+    for n in (1, 2, 3, 7, 10, 23):
+        vals = rng.permutation(n)
+        want = (
+            duckdb.sql(
+                f"SELECT ntile(4) OVER (ORDER BY v) AS q FROM "
+                f"(SELECT unnest({list(map(int, vals))}) AS v) ORDER BY v"
+            )
+            .df()["q"]
+            .to_numpy()
+        )
+        # re-derive with the kernel's arithmetic (rank r in 0..n-1)
+        r = np.arange(n)
+        size, rem = n // 4, n % 4
+        big = rem * (size + 1)
+        q = np.where(
+            r < big,
+            r // max(size + 1, 1),
+            rem + (r - big) // max(size, 1),
+        ) + 1
+        assert (q == want).all(), (n, q, want)
