@@ -1205,3 +1205,366 @@ def rel_part_region_revenue(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+# --- AMS F2 (second frequency moment) sketch ----------------------------------
+
+_AMS_SEEDS = (0x1B873593, 0xCC9E2D51, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F)
+
+
+def _ams_oracle() -> str:
+    from ntto_ray.stages.sketch import splitmix64_sql
+
+    scans = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, CASE WHEN ("
+        + splitmix64_sql(f"xor(CAST(user_id AS UBIGINT), CAST({seed} AS UBIGINT))")
+        + ") & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM events"
+        for r, seed in enumerate(_AMS_SEEDS)
+    )
+    return f"""
+WITH s AS (
+  SELECT r, CAST(sum(sgn) AS BIGINT) AS s FROM (
+  {scans}
+  ) GROUP BY r
+)
+SELECT r, s, CAST(s * s AS BIGINT) AS f2_est FROM s
+""".strip()
+
+
+@register("sketch_ams_f2", oracle=_ams_oracle())
+def sketch_ams_f2(sf_dir: str):
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy,
+    STOC'96): d = {len} ±1-hash estimators of F2 = Σ f_k² over event
+    user_ids — the self-join-size / skew estimator every shuffle planner
+    wants before picking a partitioning. Per-block partials are d
+    integers (sign-sum per estimator row), ONE d-row grouped Sum merges
+    them; the ±1 hash is the low bit of XOR-seeded splitmix64, mirrored
+    bit-for-bit in UHUGEINT SQL — the estimator is deterministic and
+    has an EXACT oracle. Output is the d (row, sign-sum, estimate)
+    rows; median-of-rows is the textbook F2 read."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.stages.sketch import splitmix64
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    _P = pa.schema([("r", pa.int64()), ("s", pa.int64())])
+
+    def ams_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _P.empty_table()
+        keys = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        rows, sums = [], []
+        for r, seed in enumerate(_AMS_SEEDS):
+            h = splitmix64(keys ^ np.uint64(seed))
+            sgn = np.where(h & np.uint64(1) == 1, 1, -1)
+            rows.append(r)
+            sums.append(int(sgn.sum()))
+        return pa.table(
+            {"r": pa.array(rows, pa.int64()), "s": pa.array(sums, pa.int64())}
+        )
+
+    merged = (
+        ev.map_batches(ams_partial, batch_format="pyarrow")
+        .groupby("r")
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("r", pa.int64()), ("s", pa.int64()), ("f2_est", pa.int64())]
+            ).empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r": pc.cast(t["r"], pa.int64()),
+                "s": pc.cast(t["s"], pa.int64()),
+                "f2_est": pa.array(s * s, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# --- first/last-touch attribution ----------------------------------------------
+
+_FT_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_first,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT f.user_id,
+       f.event_type AS first_type,
+       l.event_type AS last_type,
+       CAST(n.n AS BIGINT) AS n_events
+FROM (SELECT user_id, event_type FROM o WHERE rn_first = 1) f
+JOIN (SELECT user_id, event_type FROM o WHERE rn_last = 1) l USING (user_id)
+JOIN (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) n
+  USING (user_id)
+""".strip()
+
+
+@register("rel_first_touch", oracle=_FT_ORACLE)
+def rel_first_touch(sf_dir: str):
+    """First/last-touch attribution — the FIRST_VALUE / LAST_VALUE
+    window pair: each user's first and last event type (by ts,
+    event_id) plus their event count. ONE user-keyed exchange →
+    per-block sort → run starts/ends ARE the answer (no per-user
+    loop)."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("first_type", pa.string()),
+            ("last_type", pa.string()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def touch_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _OUT.empty_table()
+        d = t.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        user = d["user_id"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(user)
+        typ = d["event_type"].combine_chunks()
+        return pa.table(
+            {
+                "user_id": pa.array(user[starts], pa.int64()),
+                "first_type": typ.take(pa.array(starts, pa.int64())),
+                "last_type": typ.take(pa.array(ends - 1, pa.int64())),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    grouped = hash_grouped(ev, ["user_id"])
+    return grouped.map_batches(
+        touch_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+# --- degree moments / assortativity sums --------------------------------------
+
+
+def _degmom_oracle() -> str:
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.pipelines.kg import pipeline_rules
+
+    canon = K.triples_canonical_sql(pipeline_rules())
+    return f"""
+WITH canon AS MATERIALIZED ({canon}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM canon WHERE subj <> obj
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+)
+SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS m,
+       CAST((SELECT sum(d) FROM deg) AS BIGINT) AS sum_d,
+       CAST((SELECT sum(d * d) FROM deg) AS BIGINT) AS sum_d2,
+       CAST((SELECT sum(d * d * d) FROM deg) AS BIGINT) AS sum_d3,
+       CAST((SELECT sum(da.d * db.d)
+             FROM und u JOIN deg da ON da.node = u.a
+                        JOIN deg db ON db.node = u.b) AS BIGINT) AS sum_dadb
+""".strip()
+
+
+@register("kg_degree_moments", oracle=_degmom_oracle())
+def kg_degree_moments(sf_dir: str):
+    """Degree moments of the canonical KG's undirected simple
+    projection: m, Σd, Σd², Σd³ and Σ(d_a·d_b) over edges — the exact
+    integer numerators of degree assortativity (Newman 2002) and the
+    friendship paradox; a KG-health dashboard computes the float
+    coefficient from these five numbers. Plan: ONE endpoint-keyed
+    exchange dedups edges and yields degrees (node-scale moments are
+    grouped-Sum partials); Σ(d_a·d_b) attaches each endpoint's degree
+    to its edge stubs on the SAME exchange layout, then ONE edge-keyed
+    exchange pairs the two stub degrees — no degree table is ever
+    broadcast, no node-scale driver state."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "obj"])
+
+    _E = pa.schema([("a", pa.string()), ("b", pa.string())])
+    _STUB = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("side", pa.int8()),
+         ("d", pa.int64())]
+    )
+
+    def und_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _E.empty_table()
+        s = t["subj"].to_numpy(zero_copy_only=False)
+        o = t["obj"].to_numpy(zero_copy_only=False)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        a = np.minimum(s, o)
+        b = np.maximum(s, o)
+        return (
+            pa.table({"a": pa.array(a), "b": pa.array(b)})
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    # ONE exchange on the lower endpoint co-locates every copy of an
+    # edge -> per-block distinct IS the global edge dedup
+    edges = hash_grouped(
+        canon.map_batches(und_prep, batch_format="pyarrow"), ["a"]
+    ).map_batches(
+        lambda t: t.group_by(["a", "b"]).aggregate([])
+        if t.num_rows
+        else _E.empty_table(),
+        batch_size=None,
+        batch_format="pyarrow",
+        **NO_FUSE_ARGS,
+    ).materialize()
+
+    def stub_emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.schema(
+                [("node", pa.string()), ("a", pa.string()),
+                 ("b", pa.string()), ("side", pa.int8())]
+            ).empty_table()
+        n = t.num_rows
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "a": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+                "b": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    )
+                ),
+            }
+        )
+
+    def attach_deg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _STUB.empty_table()
+        d = t.sort_by([("node", "ascending")])
+        node = d["node"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(node)
+        deg = (ends - starts).astype(np.int64)
+        return pa.table(
+            {
+                "a": d["a"],
+                "b": d["b"],
+                "side": d["side"],
+                "d": pa.array(
+                    deg[np.repeat(np.arange(len(starts)), ends - starts)]
+                ),
+            }
+        )
+
+    # materialized: consumed twice (node moments + the edge-pair
+    # exchange), and materialization breaks the exchange chain so the
+    # next hash shuffle starts clean
+    stubs = (
+        hash_grouped(
+            edges.map_batches(stub_emit, batch_format="pyarrow"), ["node"]
+        )
+        .map_batches(
+            attach_deg, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
+        .materialize()
+    )
+
+    _M = pa.schema(
+        [("m", pa.int64()), ("sum_d", pa.int64()), ("sum_d2", pa.int64()),
+         ("sum_d3", pa.int64()), ("sum_dadb", pa.int64())]
+    )
+
+    def node_moments(t: pa.Table) -> pa.Table:
+        # per-block moment partials from the node-keyed layout: each
+        # node's degree appears once per incident stub; take it once.
+        if t.num_rows == 0 or "d" not in t.column_names:
+            return _M.empty_table()
+        # attach_deg output is sorted by node within the block; a
+        # node's stubs are contiguous and share d
+        dd = t["d"].to_numpy(zero_copy_only=False)
+        # stub count per node == its degree, so summing d over stubs
+        # gives sum d^2 directly; d per node once gives sum d
+        # reconstruct node runs from equal consecutive (d) alone is
+        # unsafe — recompute from stub counts: every node contributes
+        # exactly d stubs, so per-node terms are sums over stubs / d.
+        # Simpler and exact: sum over stubs of 1 = sum_d (2m),
+        # sum over stubs of d = sum_d2, sum of d^2 = sum_d3.
+        return pa.table(
+            {
+                "m": pa.array([0], pa.int64()),
+                "sum_d": pa.array([len(dd)], pa.int64()),
+                "sum_d2": pa.array([int(dd.sum())], pa.int64()),
+                "sum_d3": pa.array([int((dd * dd).sum())], pa.int64()),
+                "sum_dadb": pa.array([0], pa.int64()),
+            }
+        )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        # edge-keyed layout: the two stubs of an edge are adjacent after
+        # a sort; multiply their degrees.
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _M.empty_table()
+        d = t.sort_by(
+            [("a", "ascending"), ("b", "ascending"), ("side", "ascending")]
+        )
+        dd = d["d"].to_numpy(zero_copy_only=False)
+        da, db = dd[0::2], dd[1::2]
+        return pa.table(
+            {
+                "m": pa.array([len(da)], pa.int64()),
+                "sum_d": pa.array([0], pa.int64()),
+                "sum_d2": pa.array([0], pa.int64()),
+                "sum_d3": pa.array([0], pa.int64()),
+                "sum_dadb": pa.array([int((da * db).sum())], pa.int64()),
+            }
+        )
+
+    moments = stubs.map_batches(
+        node_moments, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+    paired = hash_grouped(
+        stubs, ["a", "b"], reserve_cpus=False
+    ).map_batches(
+        pair_partial, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+    both = moments.union(paired)
+
+    import pandas as pd
+
+    tot = both.to_pandas().sum()
+    return pd.DataFrame(
+        {
+            "m": [int(tot["m"])],
+            "sum_d": [int(tot["sum_d"])],
+            "sum_d2": [int(tot["sum_d2"])],
+            "sum_d3": [int(tot["sum_d3"])],
+            "sum_dadb": [int(tot["sum_dadb"])],
+        }
+    )
