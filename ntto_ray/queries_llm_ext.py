@@ -1568,3 +1568,192 @@ def kg_degree_moments(sf_dir: str):
             "sum_dadb": [int(tot["sum_dadb"])],
         }
     )
+
+
+# --- rdf:type histogram --------------------------------------------------------
+
+
+def _type_hist_oracle() -> str:
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.pipelines.kg import pipeline_rules
+
+    canon = K.triples_canonical_sql(pipeline_rules())
+    return f"""
+WITH canon AS MATERIALIZED ({canon})
+SELECT obj AS type, CAST(count(*) AS BIGINT) AS n_entities
+FROM canon WHERE pred = 'rdf:type'
+GROUP BY obj
+""".strip()
+
+
+@register("kg_type_histogram", oracle=_type_hist_oracle())
+def kg_type_histogram(sf_dir: str):
+    """Entity-type histogram: count of rdf:type assertions per type
+    object — the first chart on any KG dashboard. Plan: cached
+    canonical → predicate filter pushed into the scan batch → per-block
+    count partials → one type-vocabulary-scale grouped Sum (canonical
+    triples are distinct, so counts are entity counts)."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["pred", "obj"])
+
+    _H = pa.schema([("type", pa.string()), ("n", pa.int64())])
+
+    def type_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pred" not in t.column_names:
+            return _H.empty_table()
+        f = t.filter(pc.equal(t["pred"], "rdf:type"))
+        if f.num_rows == 0:
+            return _H.empty_table()
+        g = f.select(["obj"]).group_by("obj").aggregate([([], "count_all")])
+        return pa.table(
+            {"type": g["obj"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    return (
+        canon.map_batches(type_partial, batch_format="pyarrow")
+        .groupby("type")
+        .aggregate(Sum("n", alias_name="n_entities"))
+    )
+
+
+# --- exact daily active users ---------------------------------------------------
+
+_DAU_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""".strip()
+
+
+@register("rel_daily_active", oracle=_DAU_ORACLE)
+def rel_daily_active(sf_dir: str):
+    """Exact daily active users — the grouped COUNT(DISTINCT) shape:
+    block-local distinct (day, user) pairs with piggybacked event
+    counts (map-side combine) → ONE day-keyed hash exchange of the
+    pair-distinct rows (never the events) → per-day distinct count +
+    count merge."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    _P = pa.schema(
+        [("day", pa.date32()), ("user_id", pa.int64()), ("cnt", pa.int64())]
+    )
+    _OUT = pa.schema(
+        [("day", pa.date32()), ("dau", pa.int64()), ("n_events", pa.int64())]
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _P.empty_table()
+        day = pc.cast(t["ts"], pa.date32())
+        g = (
+            pa.table({"day": day, "user_id": t["user_id"]})
+            .group_by(["day", "user_id"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "user_id": pc.cast(g["user_id"], pa.int64()),
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def day_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "day" not in t.column_names:
+            return _OUT.empty_table()
+        d = (
+            t.group_by(["day", "user_id"])
+            .aggregate([("cnt", "sum")])
+            .sort_by([("day", "ascending")])
+        )
+        day = d["day"].to_numpy(zero_copy_only=False)
+        cnt = d["cnt_sum"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(day)
+        return pa.table(
+            {
+                "day": d["day"].take(pa.array(starts, pa.int64())),
+                "dau": pa.array((ends - starts).astype(np.int64)),
+                "n_events": pa.array(np.add.reduceat(cnt, starts), pa.int64()),
+            }
+        )
+
+    pairs = ev.map_batches(pair_partial, batch_format="pyarrow")
+    grouped = hash_grouped(pairs, ["day"])
+    return grouped.map_batches(
+        day_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+# --- month-over-month revenue delta ---------------------------------------------
+
+_MOM_ORACLE = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+  FROM orders GROUP BY 1
+)
+SELECT ym, revenue_c,
+       CAST(coalesce(lag(revenue_c) OVER (ORDER BY ym), 0) AS BIGINT)
+         AS prev_c,
+       CAST(revenue_c - coalesce(lag(revenue_c) OVER (ORDER BY ym), 0)
+         AS BIGINT) AS delta_c
+FROM m
+""".strip()
+
+
+@register("rel_month_over_month", oracle=_MOM_ORACLE)
+def rel_month_over_month(sf_dir: str):
+    """Month-over-month revenue delta — the window-on-aggregate shape:
+    the fact table reduces distributed (per-block month partials → one
+    month-scale Sum), then the LAG runs on the RESULT-scale series
+    driver-side (months are bounded by the calendar, not the data)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    _P = pa.schema([("ym", pa.int64()), ("rev", pa.int64())])
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderdate" not in t.column_names:
+            return _P.empty_table()
+        ym = pc.add(
+            pc.multiply(pc.year(t["o_orderdate"]), pa.scalar(100)),
+            pc.month(t["o_orderdate"]),
+        )
+        rev = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"ym": pc.cast(ym, pa.int64()), "rev": rev})
+            .group_by("ym")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["ym", "rev"])
+
+    series = (
+        orders.map_batches(month_partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("rev", alias_name="revenue_c"))
+        .to_pandas()
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+    prev = series["revenue_c"].shift(1).fillna(0).astype("int64")
+    return pd.DataFrame(
+        {
+            "ym": series["ym"].astype("int64"),
+            "revenue_c": series["revenue_c"].astype("int64"),
+            "prev_c": prev,
+            "delta_c": series["revenue_c"].astype("int64") - prev,
+        }
+    )
