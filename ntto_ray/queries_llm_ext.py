@@ -1622,7 +1622,7 @@ def kg_type_histogram(sf_dir: str):
 # --- exact daily active users ---------------------------------------------------
 
 _DAU_ORACLE = """
-SELECT CAST(ts AS DATE) AS day,
+SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT) AS day,
        CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1
@@ -1641,16 +1641,26 @@ def rel_daily_active(sf_dir: str):
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
     _P = pa.schema(
-        [("day", pa.date32()), ("user_id", pa.int64()), ("cnt", pa.int64())]
+        [("day", pa.int64()), ("user_id", pa.int64()), ("cnt", pa.int64())]
     )
     _OUT = pa.schema(
-        [("day", pa.date32()), ("dau", pa.int64()), ("n_events", pa.int64())]
+        [("day", pa.int64()), ("dau", pa.int64()), ("n_events", pa.int64())]
     )
 
     def pair_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "user_id" not in t.column_names:
             return _P.empty_table()
-        day = pc.cast(t["ts"], pa.date32())
+        ts = t["ts"]
+        day = pc.cast(
+            pc.add(
+                pc.add(
+                    pc.multiply(pc.year(ts), pa.scalar(10000)),
+                    pc.multiply(pc.month(ts), pa.scalar(100)),
+                ),
+                pc.day(ts),
+            ),
+            pa.int64(),
+        )
         g = (
             pa.table({"day": day, "user_id": t["user_id"]})
             .group_by(["day", "user_id"])
@@ -1757,3 +1767,160 @@ def rel_month_over_month(sf_dir: str):
             "delta_c": series["revenue_c"].astype("int64") - prev,
         }
     )
+
+
+# --- MinHash-LSH precision / calibration eval -----------------------------------
+
+
+def _dedup_prec_oracle() -> str:
+    from ntto_ray import queries_text  # ensures the source oracle exists
+
+    lsh = _ORACLES["dedup_minhash_lsh"].strip()
+    return f"""
+WITH lsh AS MATERIALIZED ({lsh}),
+d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT l.doc_a, l.doc_b, l.est_jaccard_pct,
+       CAST((len(list_intersect(a.toks, b.toks)) * 100)
+            // (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))) AS BIGINT)
+         AS exact_jaccard_pct
+FROM lsh l JOIN d a ON a.doc_id = l.doc_a JOIN d b ON b.doc_id = l.doc_b
+""".strip()
+
+
+@register("dedup_precision_eval", oracle=_dedup_prec_oracle())
+def dedup_precision_eval(sf_dir: str):
+    """MinHash-LSH calibration report: every LSH candidate pair with its
+    signature-estimated AND exact token-set Jaccard — the precision /
+    estimator-bias read a dedup deployment tunes bands/threshold
+    against (the recall twin of ann_recall_eval). The pair set is
+    result-scale, so the exact verification fetches ONLY the involved
+    docs (semi-join via broadcast id set, never a corpus self-join)."""
+    import pandas as pd
+
+    from ntto_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs).to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "est_jaccard_pct": pd.Series([], dtype="int64"),
+                "exact_jaccard_pct": pd.Series([], dtype="int64"),
+            }
+        )
+    ids = np.unique(
+        np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
+    )
+    def fetch(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            np.isin(
+                t["doc_id"].to_numpy(zero_copy_only=False), ids
+            )
+        )
+        return t.filter(keep)
+
+    sub = docs.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    toks = {
+        int(r.doc_id): set(r.text.split(" ")) for r in sub.itertuples()
+    }  # result-scale dict (involved docs only)
+    inter = np.array(
+        [
+            len(toks[a] & toks[b])
+            for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        ],
+        np.int64,
+    )
+    union = np.array(
+        [
+            len(toks[a]) + len(toks[b])
+            for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        ],
+        np.int64,
+    ) - inter
+    return pd.DataFrame(
+        {
+            "doc_a": pairs["doc_a"].astype("int64"),
+            "doc_b": pairs["doc_b"].astype("int64"),
+            "est_jaccard_pct": pairs["est_jaccard_pct"].astype("int64"),
+            "exact_jaccard_pct": (inter * 100 // union).astype("int64"),
+        }
+    )
+
+
+# --- skip-gram pairs from random walks ------------------------------------------
+
+_WCO_WINDOW = 2
+
+
+def _walk_cooc_oracle() -> str:
+    # registers the walks oracle when this module loads standalone
+    from ntto_ray import queries_graph_ext  # noqa: F401
+
+    walks = _ORACLES["kg_random_walks"].strip()
+    return f"""
+WITH w AS MATERIALIZED ({walks})
+SELECT a.node AS center, b.node AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM w a JOIN w b
+  ON a.walk = b.walk AND a.seed = b.seed
+ AND abs(a.step - b.step) BETWEEN 1 AND {_WCO_WINDOW}
+GROUP BY 1, 2
+""".strip()
+
+
+@register("kg_walk_cooccurrence", oracle=_walk_cooc_oracle())
+def kg_walk_cooccurrence(sf_dir: str):
+    """Skip-gram (center, context) pair counts within a ±{_WCO_WINDOW}
+    window over the derandomized DeepWalk walks — the training-pair
+    extraction step between walk generation and embedding training
+    (word2vec over walks, Perozzi et al. KDD 2014 §4.2). The walk set
+    is walk-scale by construction (seeds × walks × length), so the
+    window expansion runs on the result of the distributed walk
+    generation; at a 10^9-seed production run the same window join is
+    one (walk, seed)-keyed exchange over walk rows."""
+    import pandas as pd
+
+    from ntto_ray.queries_graph_ext import kg_random_walks
+
+    w = kg_random_walks(sf_dir)
+    w = w.to_pandas() if not isinstance(w, pd.DataFrame) else w
+    w = w.sort_values(["walk", "seed", "step"]).reset_index(drop=True)
+    walk = w["walk"].to_numpy()
+    seed = w["seed"].to_numpy()
+    node = w["node"].to_numpy()
+    centers, contexts = [], []
+    for off in range(1, _WCO_WINDOW + 1):
+        if len(walk) <= off:
+            break
+        same = (walk[:-off] == walk[off:]) & (seed[:-off] == seed[off:])
+        a, b = node[:-off][same], node[off:][same]
+        centers.extend([a, b])  # symmetric window
+        contexts.extend([b, a])
+    if not centers:
+        return pd.DataFrame(
+            {
+                "center": pd.Series([], dtype=object),
+                "context": pd.Series([], dtype=object),
+                "n_pairs": pd.Series([], dtype="int64"),
+            }
+        )
+    df = pd.DataFrame(
+        {
+            "center": np.concatenate(centers),
+            "context": np.concatenate(contexts),
+        }
+    )
+    g = (
+        df.groupby(["center", "context"], sort=True)
+        .size()
+        .rename("n_pairs")
+        .reset_index()
+    )
+    g["n_pairs"] = g["n_pairs"].astype("int64")
+    return g
