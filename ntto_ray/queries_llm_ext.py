@@ -1924,3 +1924,83 @@ def kg_walk_cooccurrence(sf_dir: str):
     )
     g["n_pairs"] = g["n_pairs"].astype("int64")
     return g
+
+
+# --- partitioned Parquet sink round-trip ----------------------------------------
+
+_PPR_ORACLE = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY 1, 2
+""".strip()
+
+
+@register("parquet_partitioned_roundtrip", oracle=_PPR_ORACLE)
+def parquet_partitioned_roundtrip(sf_dir: str):
+    """Partitioned-sink round-trip — the resumable-output surface the
+    100 TB brief requires: write documents as lang-partitioned Parquet
+    (one directory per partition key, so a failed run skips finished
+    partitions), then re-read ONLY the en/de partitions (directory
+    pruning — the other partitions' files are never opened) and
+    aggregate. The oracle reads the ORIGINAL table, so the round-trip
+    is value-checked end-to-end."""
+    import os
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"ntto_ppr_{os.path.basename(sf_dir)}"
+    )
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    # fresh write each run: partition dirs are content-addressed by the
+    # input sf_dir, so a re-run overwrites its own partitions only
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    docs.write_parquet(out, partition_cols=["lang"])
+
+    # partition pruning by construction: only the en/de directories are
+    # ever listed or opened; the partition key (a hive directory name,
+    # not a file column) is re-attached as a constant per directory
+    def read_part(lv: str):
+        return ray.data.read_parquet(
+            f"{out}/lang={lv}", columns=["source", "n_chars"]
+        ).map_batches(
+            lambda t, lv=lv: t.append_column(
+                "lang", pa.array([lv] * t.num_rows)
+            ),
+            batch_format="pyarrow",
+        )
+
+    back = read_part("en").union(read_part("de"))
+    agg = (
+        back.groupby(["lang", "source"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("sum_chars", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "lang": pc.cast(t["lang"], pa.string()),
+                "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
