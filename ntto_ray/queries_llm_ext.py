@@ -465,14 +465,15 @@ def _gram_hashes(text_col, n: int, cache: dict):
     return g, d_idx, vs - offs[d_idx]
 
 
-def _span_oracle() -> str:
-    """Bit-exact DuckDB mirror of dedup_substring_spans: md5[:8]-LE
-    token hashes → 8-token rolling gram hashes (the MinHash shingle
-    fold: mul-xor chain + splitmix64 finalizer, stages/dedup.py:587) →
-    grams in ≥2 distinct docs → per-doc gaps-and-islands span merge."""
+def _gram_cte(n: int) -> str:
+    """SQL CTE chain ``tok → vh → th → hl → raws → gh`` mirroring
+    :func:`_gram_hashes` for n-token grams: md5[:8]-LE token hashes →
+    rolling mul-xor fold (the MinHash shingle chain,
+    stages/dedup.py:587) → splitmix64 finalizer → 63-bit BIGINT gram
+    keys ``gh(doc_id, pos, g)``. Returned WITHOUT the leading WITH so
+    callers append their own aggregation CTEs."""
     from ntto_ray.stages.dedup import _SHINGLE_PRIME
 
-    N = _SPAN_N
     M = f"CAST({(1 << 64) - 1} AS UHUGEINT)"
     P = int(_SHINGLE_PRIME)
     C1 = 0xBF58476D1CE4E5B9
@@ -497,8 +498,7 @@ def _span_oracle() -> str:
         f" * {256 ** j}" for j in range(8)
     ) + " AS UBIGINT)"
 
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, unnest(l) AS tok, unnest(generate_series(1, len(l))) AS pos
   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
 ),
@@ -510,16 +510,25 @@ th AS (SELECT doc_id, pos, v.h FROM tok JOIN vh v USING (tok)),
 hl AS (SELECT doc_id, list(h ORDER BY pos) AS hl FROM th GROUP BY doc_id),
 raws AS (
   SELECT doc_id,
-    unnest(CASE WHEN len(hl) >= {N} THEN
-      [list_reduce(hl[i:i+{N - 1}], (x, y) -> {step})
-       for i in generate_series(1, len(hl) - {N - 1})]
+    unnest(CASE WHEN len(hl) >= {n} THEN
+      [list_reduce(hl[i:i+{n - 1}], (x, y) -> {step})
+       for i in generate_series(1, len(hl) - {n - 1})]
       ELSE CAST([] AS UBIGINT[]) END) AS r,
-    unnest(CASE WHEN len(hl) >= {N} THEN
-      [CAST(i - 1 AS BIGINT) for i in generate_series(1, len(hl) - {N - 1})]
+    unnest(CASE WHEN len(hl) >= {n} THEN
+      [CAST(i - 1 AS BIGINT) for i in generate_series(1, len(hl) - {n - 1})]
       ELSE CAST([] AS BIGINT[]) END) AS pos
   FROM hl
 ),
-gh AS (SELECT doc_id, pos, CAST({mix64('r')} >> 1 AS BIGINT) AS g FROM raws),
+gh AS (SELECT doc_id, pos, CAST({mix64('r')} >> 1 AS BIGINT) AS g FROM raws)"""
+
+
+def _span_oracle() -> str:
+    """Bit-exact DuckDB mirror of dedup_substring_spans: the n-gram
+    hash chain of :func:`_gram_cte` → grams in ≥2 distinct docs →
+    per-doc gaps-and-islands span merge."""
+    N = _SPAN_N
+    return f"""
+WITH {_gram_cte(N)},
 dup AS (SELECT g FROM gh GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
 hit AS (SELECT doc_id, pos FROM gh JOIN dup USING (g)),
 isl AS (
@@ -2004,3 +2013,86 @@ def parquet_partitioned_roundtrip(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --- winnowing fingerprints ------------------------------------------------------
+
+_WINNOW_K = 4  # tokens per gram
+_WINNOW_W = 5  # grams per window
+
+
+def _winnow_oracle() -> str:
+    K, W = _WINNOW_K, _WINNOW_W
+    return f"""
+WITH {_gram_cte(K)},
+win AS (
+  SELECT doc_id, pos AS wstart,
+         min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING) AS wm,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING) AS cnt
+  FROM gh
+),
+fp AS (
+  SELECT w.doc_id, max(g2.pos) AS fpos, w.wm AS h
+  FROM (SELECT * FROM win WHERE cnt = {W}) w
+  JOIN gh g2 ON g2.doc_id = w.doc_id
+            AND g2.pos BETWEEN w.wstart AND w.wstart + {W - 1}
+            AND g2.g = w.wm
+  GROUP BY w.doc_id, w.wstart, w.wm
+)
+SELECT DISTINCT doc_id, CAST(fpos AS BIGINT) AS pos, h FROM fp
+""".strip()
+
+
+@register("text_winnowing", oracle=_winnow_oracle())
+def text_winnowing(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from each window of {_WINNOW_W}
+    consecutive {_WINNOW_K}-token gram hashes select the minimum
+    (rightmost on ties), dedup — the guaranteed-coverage fingerprint
+    set plagiarism/copy detection stores instead of every gram
+    (density 2/(w+1)). Per-block fully vectorized: sliding-window view
+    over the flat gram-hash array, doc-boundary mask, reversed-argmin
+    for the rightmost-tie rule, distinct via group_by. Embarrassingly
+    parallel — ZERO shuffles; the output IS the per-doc fingerprint
+    index a downstream exchange would build buckets from."""
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    K, W = _WINNOW_K, _WINNOW_W
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("h", pa.int64())]
+    )
+
+    class Winnow:
+        def __init__(self):
+            self._cache: dict[str, int] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "text" not in t.column_names:
+                return _OUT.empty_table()
+            g, d_idx, pos = _gram_hashes(t["text"], K, self._cache)
+            if len(g) < W:
+                return _OUT.empty_table()
+            sw = np.lib.stride_tricks.sliding_window_view(g, W)
+            valid = d_idx[: len(g) - W + 1] == d_idx[W - 1 :]
+            vs = np.flatnonzero(valid)
+            if len(vs) == 0:
+                return _OUT.empty_table()
+            wins = sw[vs]
+            # rightmost argmin: argmin of the column-reversed window is
+            # the FIRST minimum from the right
+            sel = W - 1 - wins[:, ::-1].argmin(axis=1)
+            pick = vs + sel
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)[d_idx[pick]]
+            fp = pa.table(
+                {
+                    "doc_id": pa.array(doc, pa.int64()),
+                    "pos": pa.array(pos[pick], pa.int64()),
+                    "h": pa.array(g[pick]),
+                }
+            )
+            return fp.group_by(["doc_id", "pos", "h"]).aggregate([])
+
+    return docs.map_batches(Winnow, batch_format="pyarrow", concurrency=(1, 4))
