@@ -43,6 +43,24 @@ FROM c ORDER BY doc_id
     assert got["cum_tokens"].iloc[-1] == got["n_tokens"].sum()
 
 
+def test_module_imports_standalone():
+    """Ray workers re-import query modules OUTSIDE registry._load's
+    ordered walk (cloudpickle deserialization); every oracle builder
+    that reads another module's _ORACLES entry must import that module
+    itself. Regression guard for the ann_recall_eval KeyError."""
+    import subprocess
+    import sys
+
+    for mod in ("queries_llm_ext", "queries_graph_ext", "queries_text"):
+        r = subprocess.run(
+            [sys.executable, "-c", f"import ntto_ray.{mod}"],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, f"{mod}: {r.stderr[-500:]}"
+
+
 def test_ntile_remainder_semantics():
     """The vectorized NTILE bucket formula must match DuckDB's: the
     first n % k buckets take one extra row."""
