@@ -2096,3 +2096,280 @@ def text_winnowing(sf_dir: str):
             return fp.group_by(["doc_id", "pos", "h"]).aggregate([])
 
     return docs.map_batches(Winnow, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# --- per-source document quota (capped deterministic sampling) -------------------
+
+_CAP_PER_SOURCE = 15
+
+
+def _cap_oracle() -> str:
+    from ntto_ray.stages.sketch import splitmix64_sql
+
+    h = splitmix64_sql("CAST(doc_id AS UBIGINT)")
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {h}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= {_CAP_PER_SOURCE}
+""".strip()
+
+
+@register("corpus_cap_per_source", oracle=_cap_oracle())
+def corpus_cap_per_source(sf_dir: str):
+    """Per-source document quota — the mixture-balancing cap ('at most
+    C docs per domain') every corpus recipe applies before token-budget
+    sampling: keep the {_CAP_PER_SOURCE} docs with the smallest
+    splitmix64(doc_id) per source (a deterministic uniform draw, ties
+    by doc_id). ONE source-keyed exchange → per-run vectorized
+    partial-sort top-C. The hash order makes the 'random' cap
+    bit-reproducible and exactly SQL-mirrorable."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+    from ntto_ray.stages.sketch import splitmix64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+
+    def hash_col(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("source", pa.string()),
+                 ("h", pa.uint64())]
+            ).empty_table()
+        h = splitmix64(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "source": t["source"], "h": pa.array(h)}
+        )
+
+    def cap_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return _OUT.empty_table()
+        d = t.sort_by(
+            [("source", "ascending"), ("h", "ascending"),
+             ("doc_id", "ascending")]
+        )
+        src = d["source"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(src)
+        rank = np.arange(len(src)) - starts[
+            np.repeat(np.arange(len(starts)), ends - starts)
+        ]
+        keep = pa.array(rank < _CAP_PER_SOURCE)
+        kept = d.filter(keep)
+        return pa.table(
+            {
+                "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+                "source": kept["source"],
+            }
+        )
+
+    grouped = hash_grouped(
+        docs.map_batches(hash_col, batch_format="pyarrow"), ["source"]
+    )
+    return grouped.map_batches(
+        cap_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+# --- SPARQL-style triple-pattern match --------------------------------------------
+
+
+def _pattern_oracle() -> str:
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.pipelines.kg import pipeline_rules
+
+    canon = K.triples_canonical_sql(pipeline_rules())
+    return f"""
+WITH canon AS MATERIALIZED ({canon})
+SELECT t1.subj AS conv, t1.obj AS turn, t2.obj AS entity
+FROM canon t1 JOIN canon t2 ON t2.subj = t1.obj
+WHERE t1.pred = 'exont:hasTurn' AND t2.pred = 'exont:mentionsEntity'
+""".strip()
+
+
+@register("kg_pattern_match", oracle=_pattern_oracle())
+def kg_pattern_match(sf_dir: str):
+    """Fixed two-triple SPARQL basic graph pattern over the canonical
+    KG: ?conv exont:hasTurn ?turn . ?turn exont:mentionsEntity ?entity
+    — the conversation→entity provenance join a KG consumer runs to
+    trace which turn asserted which entity. Plan: predicate filters
+    push into the scan batches (each side ships only its pattern's
+    triples), then ONE tag-union hash exchange on the join variable
+    ?turn with a per-run vectorized cross of the two sides (the
+    ragged-cross-product kernel of kg_pred_paths)."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+
+    _TAG = pa.schema(
+        [("turn", pa.string()), ("side", pa.int8()), ("val", pa.string())]
+    )
+    _OUT = pa.schema(
+        [("conv", pa.string()), ("turn", pa.string()),
+         ("entity", pa.string())]
+    )
+
+    def tag_sides(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pred" not in t.column_names:
+            return _TAG.empty_table()
+        a = t.filter(pc.equal(t["pred"], "exont:hasTurn"))
+        b = t.filter(pc.equal(t["pred"], "exont:mentionsEntity"))
+        return pa.table(
+            {
+                "turn": pa.concat_arrays(
+                    [a["obj"].combine_chunks(), b["subj"].combine_chunks()]
+                ),
+                "side": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(a.num_rows, np.int8),
+                            np.ones(b.num_rows, np.int8),
+                        ]
+                    )
+                ),
+                "val": pa.concat_arrays(
+                    [a["subj"].combine_chunks(), b["obj"].combine_chunks()]
+                ),
+            }
+        )
+
+    def join_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "turn" not in t.column_names:
+            return _OUT.empty_table()
+        d = t.sort_by(
+            [("turn", "ascending"), ("side", "ascending"),
+             ("val", "ascending")]
+        )
+        turn = d["turn"].to_numpy(zero_copy_only=False)
+        sidec = d["side"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(turn)
+        mids = starts + np.add.reduceat((sidec == 0).astype(np.int64), starts)
+        n_a = mids - starts
+        n_b = ends - mids
+        pairs = n_a * n_b
+        total = int(pairs.sum())
+        if total == 0:
+            return _OUT.empty_table()
+        run_of = np.repeat(np.arange(len(starts)), pairs)
+        off = np.concatenate([[0], np.cumsum(pairs)[:-1]])
+        local = np.arange(total) - off[run_of]
+        nb = n_b[run_of]
+        a_idx = starts[run_of] + local // nb
+        b_idx = mids[run_of] + local % nb
+        val = d["val"].combine_chunks()
+        tv = d["turn"].combine_chunks()
+        return pa.table(
+            {
+                "conv": val.take(pa.array(a_idx, pa.int64())),
+                "turn": tv.take(pa.array(a_idx, pa.int64())),
+                "entity": val.take(pa.array(b_idx, pa.int64())),
+            }
+        )
+
+    tagged = canon.map_batches(tag_sides, batch_format="pyarrow")
+    grouped = hash_grouped(tagged, ["turn"])
+    return grouped.map_batches(
+        join_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+# --- cumulative distinct users (growth curve) --------------------------------------
+
+_CUM_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         CAST(year(min(ts)) * 10000 + month(min(ts)) * 100 + day(min(ts))
+              AS BIGINT) AS first_day
+  FROM events GROUP BY user_id
+),
+d AS (SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+      FROM f GROUP BY first_day)
+SELECT first_day AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM d
+""".strip()
+
+
+@register("rel_cumulative_users", oracle=_CUM_ORACLE)
+def rel_cumulative_users(sf_dir: str):
+    """User growth curve — cumulative distinct users by first-seen day:
+    per-block (user, min-day) partials → one user-keyed Min merge →
+    day counts → running sum on the CALENDAR-bounded series
+    driver-side (the same window-on-aggregate budget as
+    rel_month_over_month)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    _P = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _P.empty_table()
+        ts = t["ts"]
+        day = pc.cast(
+            pc.add(
+                pc.add(
+                    pc.multiply(pc.year(ts), pa.scalar(10000)),
+                    pc.multiply(pc.month(ts), pa.scalar(100)),
+                ),
+                pc.day(ts),
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"user_id": pc.cast(t["user_id"], pa.int64()), "day": day})
+            .group_by("user_id")
+            .aggregate([("day", "min")])
+        )
+        return g.rename_columns(["user_id", "day"])
+
+    first = (
+        ev.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="first_day"))
+    )
+
+    _D = pa.schema([("first_day", pa.int64()), ("new_users", pa.int64())])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "first_day" not in t.column_names:
+            return _D.empty_table()
+        g = (
+            t.select(["first_day"])
+            .group_by("first_day")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "first_day": pc.cast(g["first_day"], pa.int64()),
+                "new_users": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    days = (
+        first.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("first_day")
+        .aggregate(Sum("new_users", alias_name="new_users"))
+        .to_pandas()
+        .sort_values("first_day")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "day": days["first_day"].astype("int64"),
+            "new_users": days["new_users"].astype("int64"),
+            "cum_users": days["new_users"].astype("int64").cumsum(),
+        }
+    )
