@@ -72,5 +72,6 @@ def _load():
     # round-3 extension ops register LAST: if the driver's budget ever
     # truncates the walk again, only the newest (least-proven) rows drop.
     from ntto_ray import queries_llm_ext  # noqa: F401
+    from ntto_ray import queries_llm_ext2  # noqa: F401
 
     _LOADED = True
