@@ -1,0 +1,544 @@
+"""Round-3 continuation operators (batch 3): triple provenance lineage,
+a cyclic 3-pattern SPARQL BGP, entity resolution by attribute-profile
+Jaccard, and a per-source corpus quality report.
+
+Engine surface beyond the reference's triple model (the reference,
+cmd/ntto/ntto.go, stops at parse→abbreviate→render); every query carries
+an exact DuckDB oracle built from the same kgspec constants the Ray
+stages use. All outputs are integer/string typed (no float hash drift).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ntto_ray.registry import register
+
+
+# --- provenance lineage ------------------------------------------------------
+
+_PROV_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("cnt", pa.int64()),
+        ("n_convs", pa.int64()),
+        ("first_turn", pa.int64()),
+    ]
+)
+
+
+@register("kg_provenance", oracle=None)  # oracle filled by _late_oracles
+def kg_provenance(sf_dir: str):
+    """Per-canonical-triple provenance: how many raw assertions support
+    it (cnt), across how many distinct conversations (n_convs), and the
+    earliest asserting turn (first_turn) — the lineage record a KG
+    builder keeps so every edge is auditable back to its source
+    transcript (W3C PROV-style support counting; the reference's data
+    model, cmd/ntto/ntto.go:36-50, has no lineage at all).
+
+    Plan: abbreviated triples KEEP their (conv_id, turn_idx) lineage
+    columns (stages/extract.py TRIPLES_RAW_SCHEMA) → per-block C++
+    pre-aggregation to (s,p,o,conv) partials (Arrow group_by — collapses
+    within-block duplicate assertions before the wire) → ONE hash
+    exchange keyed on (subj,pred,obj) → per-block two-level Arrow
+    group_by: merge conv partials, then roll up cnt / distinct-conv /
+    min-turn. The exchange moves conv-level partials, never raw triples."""
+    from ntto_ray.pipelines.kg import abbreviate, extract_triples
+    from ntto_ray.sources.transcripts import synth_transcripts
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    abbrev = abbreviate(extract_triples(synth_transcripts(sf_dir)))
+
+    _PART = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("conv_id", pa.string()),
+            ("n", pa.int64()),
+            ("mt", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _PART.empty_table()
+        g = t.group_by(["subj", "pred", "obj", "conv_id"]).aggregate(
+            [("turn_idx", "count"), ("turn_idx", "min")]
+        )
+        return pa.table(
+            {
+                "subj": g["subj"],
+                "pred": g["pred"],
+                "obj": g["obj"],
+                "conv_id": g["conv_id"],
+                "n": pc.cast(g["turn_idx_count"], pa.int64()),
+                "mt": pc.cast(g["turn_idx_min"], pa.int64()),
+            }
+        )
+
+    parts = abbrev.map_batches(partial, batch_format="pyarrow")
+    grouped = hash_grouped(parts, ["subj", "pred", "obj"], sort=False)
+
+    def rollup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _PROV_SCHEMA.empty_table()
+        m = t.group_by(["subj", "pred", "obj", "conv_id"]).aggregate(
+            [("n", "sum"), ("mt", "min")]
+        )
+        r = m.group_by(["subj", "pred", "obj"]).aggregate(
+            [("n_sum", "sum"), ("conv_id", "count"), ("mt_min", "min")]
+        )
+        return pa.table(
+            {
+                "subj": r["subj"],
+                "pred": r["pred"],
+                "obj": r["obj"],
+                "cnt": pc.cast(r["n_sum_sum"], pa.int64()),
+                "n_convs": pc.cast(r["conv_id_count"], pa.int64()),
+                "first_turn": pc.cast(r["mt_min_min"], pa.int64()),
+            }
+        )
+
+    return grouped.map_batches(
+        rollup, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+# --- cyclic 3-pattern BGP ----------------------------------------------------
+
+_P_HAS_TURN = "exont:hasTurn"
+_P_MENT_ENT = "exont:mentionsEntity"
+_P_DISCUSS = "exont:discusses"
+
+
+@register("kg_bgp_cycle", oracle=None)  # oracle filled by _late_oracles
+def kg_bgp_cycle(sf_dir: str):
+    """Cyclic three-pattern SPARQL BGP over the canonical KG:
+
+        ?conv exont:hasTurn ?turn .
+        ?turn exont:mentionsEntity ?e .
+        ?conv exont:discusses ?e
+
+    counted per entity ?e — the provenance-closure query a KG consumer
+    runs to check that every turn-level entity assertion is reflected at
+    the conversation level (two join variables, so unlike
+    kg_pattern_match this is a CYCLE, not a chain). Plan: predicate
+    filters push into the scan; join 1 is ONE tag-union hash exchange on
+    ?turn with a per-run ragged cross (the kg_pred_paths kernel) emitting
+    block-local (conv, e) partial counts; join 2 is ONE tag-union
+    exchange on the packed (conv, e) key that keeps a partial-count row
+    only when the discusses edge exists; a tiny entity-keyed Sum
+    finishes. No stage ever expands beyond the true match count."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+
+    _TAG1 = pa.schema(
+        [("key", pa.string()), ("side", pa.int8()), ("val", pa.string())]
+    )
+
+    def tag_turn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pred" not in t.column_names:
+            return _TAG1.empty_table()
+        ht = t.filter(pc.equal(t["pred"], _P_HAS_TURN))
+        me = t.filter(pc.equal(t["pred"], _P_MENT_ENT))
+        return pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [
+                        ht["obj"].combine_chunks(),
+                        me["subj"].combine_chunks(),
+                    ]
+                ),
+                "side": pa.array(
+                    np.r_[
+                        np.zeros(ht.num_rows, np.int8),
+                        np.ones(me.num_rows, np.int8),
+                    ]
+                ),
+                "val": pa.concat_arrays(
+                    [
+                        ht["subj"].combine_chunks(),
+                        me["obj"].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    _PAIR = pa.schema(
+        [("conv", pa.string()), ("ent", pa.string()), ("n", pa.int64())]
+    )
+
+    def cross_turn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _PAIR.empty_table()
+        d = t.sort_by([("key", "ascending"), ("side", "ascending")])
+        key = d["key"].to_numpy(zero_copy_only=False)
+        side = d["side"].to_numpy(zero_copy_only=False)
+        val = d["val"].combine_chunks()
+        starts, ends = runs(key)
+        conv_idx_parts, ent_idx_parts = [], []
+        for s, e in zip(starts, ends):
+            cut = s + int(np.searchsorted(side[s:e], 1))
+            n0, n1 = cut - s, e - cut
+            if n0 == 0 or n1 == 0:
+                continue
+            conv_idx_parts.append(
+                np.repeat(np.arange(s, cut, dtype=np.int64), n1)
+            )
+            ent_idx_parts.append(
+                np.tile(np.arange(cut, e, dtype=np.int64), n0)
+            )
+        if not conv_idx_parts:
+            return _PAIR.empty_table()
+        ci = np.concatenate(conv_idx_parts)
+        ei = np.concatenate(ent_idx_parts)
+        pairs = pa.table(
+            {
+                "conv": val.take(pa.array(ci, pa.int64())),
+                "ent": val.take(pa.array(ei, pa.int64())),
+            }
+        )
+        g = pairs.group_by(["conv", "ent"]).aggregate([("conv", "count")])
+        return pa.table(
+            {
+                "conv": g["conv"],
+                "ent": g["ent"],
+                "n": pc.cast(g["conv_count"], pa.int64()),
+            }
+        )
+
+    join1 = hash_grouped(
+        canon.map_batches(tag_turn, batch_format="pyarrow"), ["key"]
+    ).map_batches(
+        cross_turn, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+    _TAG2 = pa.schema(
+        [
+            ("key", pa.string()),
+            ("side", pa.int8()),
+            ("ent", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv" not in t.column_names:
+            return _TAG2.empty_table()
+        key = pc.binary_join_element_wise(t["conv"], t["ent"], "\x1f")
+        return pa.table(
+            {
+                "key": key,
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                "ent": t["ent"],
+                "n": t["n"],
+            }
+        )
+
+    def tag_discuss(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pred" not in t.column_names:
+            return _TAG2.empty_table()
+        d = t.filter(pc.equal(t["pred"], _P_DISCUSS))
+        key = pc.binary_join_element_wise(d["subj"], d["obj"], "\x1f")
+        return pa.table(
+            {
+                "key": key,
+                "side": pa.array(np.ones(d.num_rows, np.int8)),
+                "ent": d["obj"],
+                "n": pa.array(np.zeros(d.num_rows, np.int64)),
+            }
+        )
+
+    tagged2 = join1.map_batches(tag_pair, batch_format="pyarrow").union(
+        canon.map_batches(tag_discuss, batch_format="pyarrow")
+    )
+
+    _ENT = pa.schema([("entity", pa.string()), ("matches", pa.int64())])
+
+    def keep_discussed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _ENT.empty_table()
+        d = t.sort_by([("key", "ascending"), ("side", "ascending")])
+        key = d["key"].to_numpy(zero_copy_only=False)
+        side = d["side"].to_numpy(zero_copy_only=False)
+        n = d["n"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(key)
+        has_d = side[ends - 1] == 1  # sorted: discusses rows sort last
+        keep_run = has_d
+        # partial-count rows are the side-0 prefix of each kept run
+        out_idx = []
+        for s, e, k in zip(starts, ends, keep_run):
+            if not k:
+                continue
+            cut = s + int(np.searchsorted(side[s:e], 1))
+            if cut > s:
+                out_idx.append(np.arange(s, cut, dtype=np.int64))
+        if not out_idx:
+            return _ENT.empty_table()
+        idx = np.concatenate(out_idx)
+        return pa.table(
+            {
+                "entity": d["ent"].take(pa.array(idx, pa.int64())),
+                "matches": pa.array(n[idx]),
+            }
+        )
+
+    kept = hash_grouped(tagged2, ["key"], reserve_cpus=False).map_batches(
+        keep_discussed, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+    return kept.groupby("entity").aggregate(Sum("matches", alias_name="matches"))
+
+
+# --- entity resolution: discusses-profile Jaccard ---------------------------
+
+
+@register("kg_er_profile_jaccard", oracle=None)  # oracle filled below
+def kg_er_profile_jaccard(sf_dir: str):
+    """Entity resolution over the KG's conversation entities: two
+    conversations refer to the same underlying discussion when the
+    Jaccard of their discusses-profiles (the distinct entity sets they
+    discuss) clears 50% — the attribute-set-similarity blocking step of
+    classic ER (Fellegi-Sunter style attribute agreement, computed as a
+    set-similarity self-join). Plan: ONE subj-keyed exchange builds each
+    conversation's profile (ListArray + binary_join — no per-group
+    Python string building), the conversation ordinal is parsed from the
+    IRI, and the profile rows feed the SAME globally-exact
+    prefix-filtered similarity join as dedup_jaccard_pairs
+    (stages/dedup.jaccard_pairs) — entity IRIs contain no spaces, so
+    token set == attribute set exactly."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.dedup import jaccard_pairs
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+
+    _PROF = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def only_discuss(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pred" not in t.column_names:
+            return pa.schema(
+                [("subj", pa.string()), ("obj", pa.string())]
+            ).empty_table()
+        d = t.filter(pc.equal(t["pred"], _P_DISCUSS))
+        return d.select(["subj", "obj"])
+
+    def profile(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _PROF.empty_table()
+        d = t.sort_by([("subj", "ascending")])
+        subj = d["subj"].to_numpy(zero_copy_only=False)
+        starts, _ends = runs(subj)
+        offsets = np.concatenate([starts, [len(subj)]]).astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), d["obj"].combine_chunks()
+        )
+        head = d["subj"].take(pa.array(starts, pa.int64()))
+        # 'exconv:conv-%08d' → ordinal after the 12-char fixed prefix
+        conv = pc.cast(pc.utf8_slice_codeunits(head, 12), pa.int64())
+        return pa.table({"doc_id": conv, "text": pc.binary_join(la, " ")})
+
+    profiles = hash_grouped(
+        canon.map_batches(only_discuss, batch_format="pyarrow"), ["subj"]
+    ).map_batches(
+        profile, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+    pairs = jaccard_pairs(profiles, threshold_pct=50)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["conv_a", "conv_b", "jaccard_pct"])
+
+    return pairs.map_batches(rename, batch_format="pyarrow")
+
+
+# --- corpus quality report ---------------------------------------------------
+
+_REPORT_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n_docs", pa.int64()),
+        ("n_unique", pa.int64()),
+        ("dup_docs", pa.int64()),
+        ("total_tokens", pa.int64()),
+        ("long_docs", pa.int64()),
+        ("max_tokens", pa.int64()),
+        ("total_chars", pa.int64()),
+    ]
+)
+
+_LONG_TOK = 50  # tokens at/above which a doc counts as "long"
+
+
+@register("corpus_quality_report", oracle=None)  # oracle filled below
+def corpus_quality_report(sf_dir: str):
+    """Per-source corpus quality report: doc count, exact-duplicate
+    count (128-bit vectorized polynomial content key —
+    stages/dedup.poly_content_hashes), token totals, long-doc share and
+    char volume — the one-page health summary a curation run prints per
+    ingest source before mixing. Plan: per-block vectorized prep (hash +
+    token counts, thin partial rows) → ONE source-keyed exchange
+    (sort=False: the keyspace is far sparser than the partition count,
+    so the per-partition sort is skipped and the kernel sorts) →
+    per-block grouped rollup with distinct-hash counting via one lexsort
+    over the (h1, h2) pairs."""
+    from ntto_ray.stages.dedup import poly_content_hashes
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    _PART = pa.schema(
+        [
+            ("source", pa.string()),
+            ("h1", pa.int64()),
+            ("h2", pa.int64()),
+            ("ntok", pa.int64()),
+            ("nchar", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return _PART.empty_table()
+        texts = t["text"].combine_chunks()
+        h1, h2 = poly_content_hashes(texts)
+        ntok = pc.cast(
+            pc.list_value_length(pc.split_pattern(texts, pattern=" ")),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "ntok": ntok,
+                "nchar": pc.cast(pc.utf8_length(texts), pa.int64()),
+            }
+        )
+
+    grouped = hash_grouped(
+        docs.map_batches(prep, batch_format="pyarrow"), ["source"], sort=False
+    )
+
+    def report(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return _REPORT_SCHEMA.empty_table()
+        d = t.sort_by([("source", "ascending")])
+        src = d["source"].to_numpy(zero_copy_only=False)
+        h1 = d["h1"].to_numpy(zero_copy_only=False)
+        h2 = d["h2"].to_numpy(zero_copy_only=False)
+        ntok = d["ntok"].to_numpy(zero_copy_only=False)
+        nchar = d["nchar"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(src)
+        gid = np.repeat(np.arange(len(starts)), ends - starts)
+        # distinct (h1, h2) per source: one lexsort, count run heads
+        order = np.lexsort((h2, h1, gid))
+        gg, a, b = gid[order], h1[order], h2[order]
+        head = np.r_[True, (gg[1:] != gg[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        n_unique = np.bincount(gg[head], minlength=len(starts))
+        n_docs = (ends - starts).astype(np.int64)
+        return pa.table(
+            {
+                "source": d["source"].take(pa.array(starts, pa.int64())),
+                "n_docs": pa.array(n_docs),
+                "n_unique": pa.array(n_unique.astype(np.int64)),
+                "dup_docs": pa.array(n_docs - n_unique),
+                "total_tokens": pa.array(np.add.reduceat(ntok, starts)),
+                "long_docs": pa.array(
+                    np.add.reduceat((ntok >= _LONG_TOK).astype(np.int64), starts)
+                ),
+                "max_tokens": pa.array(np.maximum.reduceat(ntok, starts)),
+                "total_chars": pa.array(np.add.reduceat(nchar, starts)),
+            }
+        )
+
+    return grouped.map_batches(
+        report, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+# --- oracles -----------------------------------------------------------------
+
+
+def _late_oracles():
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.pipelines.kg import pipeline_rules
+    from ntto_ray.registry import _ORACLES
+    from ntto_ray.stages.dedup import poly_content_hash_sql
+
+    rules = pipeline_rules()
+    abbrev = K.triples_abbrev_sql(rules)
+    canon = K.triples_canonical_sql(rules)
+
+    _ORACLES["kg_provenance"] = f"""
+WITH abbrev AS ({abbrev})
+SELECT subj, pred, obj,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(min(turn_idx) AS BIGINT) AS first_turn
+FROM abbrev GROUP BY 1, 2, 3
+""".strip()
+
+    _ORACLES["kg_bgp_cycle"] = f"""
+WITH canon AS MATERIALIZED ({canon})
+SELECT c2.obj AS entity, CAST(count(*) AS BIGINT) AS matches
+FROM canon c1
+JOIN canon c2 ON c2.subj = c1.obj AND c2.pred = '{_P_MENT_ENT}'
+JOIN canon c3 ON c3.subj = c1.subj AND c3.obj = c2.obj
+             AND c3.pred = '{_P_DISCUSS}'
+WHERE c1.pred = '{_P_HAS_TURN}'
+GROUP BY 1
+""".strip()
+
+    _ORACLES["kg_er_profile_jaccard"] = f"""
+WITH canon AS MATERIALIZED ({canon}),
+prof AS (
+  SELECT CAST(substr(subj, 13) AS BIGINT) AS conv,
+         list_distinct(list(obj)) AS toks
+  FROM canon WHERE pred = '{_P_DISCUSS}' GROUP BY subj
+)
+SELECT a.conv AS conv_a, b.conv AS conv_b,
+       CAST((len(list_intersect(a.toks, b.toks)) * 100)
+            // (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))) AS BIGINT)
+         AS jaccard_pct
+FROM prof a JOIN prof b ON a.conv < b.conv
+WHERE len(list_intersect(a.toks, b.toks)) * 100
+      >= 50 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+""".strip()
+
+    _ORACLES["corpus_quality_report"] = f"""
+WITH ph AS ({poly_content_hash_sql()}),
+t AS (
+  SELECT d.source, ph.h1, ph.h2,
+         len(string_split(d.text, ' ')) AS ntok,
+         length(d.text) AS nchar
+  FROM documents d JOIN ph ON ph.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h1 || '|' || h2) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT h1 || '|' || h2) AS BIGINT) AS dup_docs,
+       CAST(sum(ntok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN ntok >= {_LONG_TOK} THEN 1 ELSE 0 END) AS BIGINT)
+         AS long_docs,
+       CAST(max(ntok) AS BIGINT) AS max_tokens,
+       CAST(sum(nchar) AS BIGINT) AS total_chars
+FROM t GROUP BY 1
+""".strip()
+
+
+_late_oracles()

@@ -73,5 +73,6 @@ def _load():
     # truncates the walk again, only the newest (least-proven) rows drop.
     from ntto_ray import queries_llm_ext  # noqa: F401
     from ntto_ray import queries_llm_ext2  # noqa: F401
+    from ntto_ray import queries_llm_ext3  # noqa: F401
 
     _LOADED = True
