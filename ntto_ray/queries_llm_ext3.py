@@ -470,6 +470,260 @@ def corpus_quality_report(sf_dir: str):
     )
 
 
+# --- SHACL-style constraint validation report --------------------------------
+
+_P_MENTIONS = "exont:mentions"
+_RDF_TYPE = "rdf:type"
+_MIN_ENTITIES = 6  # conv_min_entities threshold (degree-4/5 convs exist → real violations)
+
+_SHACL_SCHEMA = pa.schema(
+    [("rule", pa.string()), ("n_checked", pa.int64()), ("n_violations", pa.int64())]
+)
+
+
+@register("kg_shacl_report", oracle=None)  # oracle filled by _late_oracles
+def kg_shacl_report(sf_dir: str):
+    """SHACL-style shape validation over the canonical KG — four
+    constraints, each reported as (rule, n_checked, n_violations):
+
+      conv_turn_count      every conversation has exactly TURNS_PER_CONV
+                           hasTurn edges (cardinality shape)
+      turn_single_type     every turn has exactly one rdf:type
+                           (functional-property shape)
+      discusses_supported  every conv-level discusses edge is supported
+                           by a mention in one of that conversation's
+                           turns (provenance referential integrity)
+      conv_min_entities    every conversation discusses >= {_MIN_ENTITIES}
+                           distinct entities (data-dependent QA gate)
+
+    The W3C SHACL cardinality/closed-shape checks, re-expressed as
+    distributed aggregates (the reference has no validation surface at
+    all). Plan: the three per-subject cardinality shapes are predicate-
+    filtered grouped counts over the cached canonical KG (per-block
+    partials → one grouped Sum each); the referential check is ONE
+    tag-union hash exchange on the (conv, entity) pair key — support
+    pairs are derived from turn IRIs by fixed-width slice, never a join
+    back to transcripts. Per-constraint partial rows union into a tiny
+    4-row grouped Sum."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+
+    _CNT = pa.schema([("subj", pa.string()), ("n", pa.int64())])
+
+    def _pred_counts(pred: str):
+        def part(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "pred" not in t.column_names:
+                return _CNT.empty_table()
+            d = t.filter(pc.equal(t["pred"], pred))
+            g = d.group_by("subj").aggregate([("pred", "count")])
+            return pa.table(
+                {"subj": g["subj"], "n": pc.cast(g["pred_count"], pa.int64())}
+            )
+
+        return (
+            canon.map_batches(part, batch_format="pyarrow")
+            .groupby("subj")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+    def _shape_summary(rule: str, violated):
+        def summ(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "n" not in t.column_names:
+                return _SHACL_SCHEMA.empty_table()
+            n = t["n"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "rule": pa.array([rule]),
+                    "n_checked": pa.array([np.int64(len(n))]),
+                    "n_violations": pa.array([np.int64(violated(n).sum())]),
+                }
+            )
+
+        return summ
+
+    c1 = _pred_counts(_P_HAS_TURN).map_batches(
+        _shape_summary("conv_turn_count", lambda n: n != 6),
+        batch_format="pyarrow",
+    )
+    c2 = _pred_counts(_RDF_TYPE).map_batches(
+        _shape_summary("turn_single_type", lambda n: n != 1),
+        batch_format="pyarrow",
+    )
+    c4 = _pred_counts(_P_DISCUSS).map_batches(
+        _shape_summary("conv_min_entities", lambda n: n < _MIN_ENTITIES),
+        batch_format="pyarrow",
+    )
+
+    # referential check: discusses (conv, e) must have a same-conv mention
+    _TAG = pa.schema([("key", pa.string()), ("side", pa.int8())])
+
+    def tag_ref(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pred" not in t.column_names:
+            return _TAG.empty_table()
+        disc = t.filter(pc.equal(t["pred"], _P_DISCUSS))
+        sup = t.filter(
+            pc.is_in(t["pred"], value_set=pa.array([_P_MENTIONS, _P_MENT_ENT]))
+        )
+        # turn IRI 'exconv:conv-%08d/turn/k' → conv IRI = first 20 chars
+        sup_conv = pc.utf8_slice_codeunits(sup["subj"].combine_chunks(), 0, 20)
+        key0 = pc.binary_join_element_wise(disc["subj"], disc["obj"], "\x1f")
+        key1 = pc.binary_join_element_wise(
+            sup_conv, sup["obj"].combine_chunks(), "\x1f"
+        )
+        def _arr(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+        return pa.table(
+            {
+                "key": pa.concat_arrays([_arr(key0), _arr(key1)]),
+                "side": pa.array(
+                    np.r_[
+                        np.zeros(disc.num_rows, np.int8),
+                        np.ones(sup.num_rows, np.int8),
+                    ]
+                ),
+            }
+        )
+
+    def ref_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _SHACL_SCHEMA.empty_table()
+        d = t.sort_by([("key", "ascending"), ("side", "ascending")])
+        key = d["key"].to_numpy(zero_copy_only=False)
+        side = d["side"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(key)
+        has_disc = side[starts] == 0  # sorted: discusses rows sort first
+        has_sup = side[ends - 1] == 1
+        checked = int(has_disc.sum())
+        viol = int((has_disc & ~has_sup).sum())
+        return pa.table(
+            {
+                "rule": pa.array(["discusses_supported"]),
+                "n_checked": pa.array([np.int64(checked)]),
+                "n_violations": pa.array([np.int64(viol)]),
+            }
+        )
+
+    c3 = hash_grouped(
+        canon.map_batches(tag_ref, batch_format="pyarrow"),
+        ["key"],
+        reserve_cpus=False,
+    ).map_batches(
+        ref_summary, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+    return (
+        c1.union(c2, c3, c4)
+        .groupby("rule")
+        .aggregate(
+            Sum("n_checked", alias_name="n_checked"),
+            Sum("n_violations", alias_name="n_violations"),
+        )
+    )
+
+
+# --- incremental delta update -------------------------------------------------
+
+
+@register("kg_delta_update", oracle=None)  # oracle filled by _late_oracles
+def kg_delta_update(sf_dir: str):
+    """Incremental canonical-KG maintenance: the corpus is split into a
+    BASE batch (conversations with ordinal % 10 != 0) and a DELTA batch
+    (% 10 == 0), each canonicalized independently, then merged by count
+    addition — canonical(A ∪ B) == merge(canonical(A), canonical(B))
+    because the canonical form is a pure grouped count (the
+    incremental-view-maintenance algebra a nightly ingest relies on so
+    it never rebuilds the full KG). The oracle is the FULL-rebuild SQL,
+    so the test pins the merge algebra itself. Plan: two independent
+    build_graph subpipelines (each its own bounded exchange) → union of
+    count partials → one grouped Sum at canonical scale."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import build_graph
+    from ntto_ray.sources.transcripts import synth_transcripts
+
+    ts = synth_transcripts(sf_dir)
+
+    def split(delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "conv_id" not in t.column_names:
+                return t
+            # conv_id 'conv-%08d' → ordinal digits at [5:13]
+            ordv = pc.cast(
+                pc.utf8_slice_codeunits(t["conv_id"], 5, 13), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            mask = (ordv % 10 == 0) if delta else (ordv % 10 != 0)
+            return t.filter(pa.array(mask))
+
+        return ts.map_batches(f, batch_format="pyarrow")
+
+    # fused=True: one actor pool per branch — two unfused branches would
+    # stack six fixed pools and deadlock a small session (see
+    # run_kg_pipeline's fused rationale).
+    base = build_graph(split(delta=False), fused=True)
+    delta = build_graph(split(delta=True), fused=True)
+    return (
+        base.union(delta)
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+# --- exact-dup cluster-size histogram ----------------------------------------
+
+
+@register("dedup_cluster_stats", oracle=None)  # oracle filled by _late_oracles
+def dedup_cluster_stats(sf_dir: str):
+    """Histogram of exact-duplicate cluster sizes (how many content
+    clusters have exactly k members) — the one-glance duplication
+    profile a curation run reports before choosing dedup thresholds.
+    Plan: vectorized 128-bit polynomial content keys → grouped Count at
+    cluster scale → per-block partial histograms → tiny grouped Sum at
+    histogram scale. Shuffle volume is 16-byte keys, never text."""
+    from ray.data.aggregate import Count, Sum
+
+    from ntto_ray.stages.dedup import poly_content_hashes
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        h1, h2 = poly_content_hashes(t["text"].combine_chunks())
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2)})
+
+    clusters = (
+        docs.map_batches(prep, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(Count(alias_name="sz"))
+    )
+
+    _HIST = pa.schema(
+        [("cluster_size", pa.int64()), ("n_clusters", pa.int64())]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sz" not in t.column_names:
+            return _HIST.empty_table()
+        g = t.group_by("sz").aggregate([("sz", "count")])
+        return pa.table(
+            {
+                "cluster_size": pc.cast(g["sz"], pa.int64()),
+                "n_clusters": pc.cast(g["sz_count"], pa.int64()),
+            }
+        )
+
+    return (
+        clusters.map_batches(hist, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+
+
 # --- oracles -----------------------------------------------------------------
 
 
@@ -518,6 +772,41 @@ SELECT a.conv AS conv_a, b.conv AS conv_b,
 FROM prof a JOIN prof b ON a.conv < b.conv
 WHERE len(list_intersect(a.toks, b.toks)) * 100
       >= 50 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+""".strip()
+
+    _ORACLES["kg_shacl_report"] = f"""
+WITH canon AS MATERIALIZED ({canon}),
+c1 AS (SELECT count(*) AS ck, sum(CASE WHEN n <> {K.TURNS_PER_CONV} THEN 1 ELSE 0 END) AS v
+       FROM (SELECT subj, count(*) AS n FROM canon
+             WHERE pred = '{_P_HAS_TURN}' GROUP BY 1)),
+c2 AS (SELECT count(*) AS ck, sum(CASE WHEN n <> 1 THEN 1 ELSE 0 END) AS v
+       FROM (SELECT subj, count(*) AS n FROM canon
+             WHERE pred = '{_RDF_TYPE}' GROUP BY 1)),
+c4 AS (SELECT count(*) AS ck, sum(CASE WHEN n < {_MIN_ENTITIES} THEN 1 ELSE 0 END) AS v
+       FROM (SELECT subj, count(*) AS n FROM canon
+             WHERE pred = '{_P_DISCUSS}' GROUP BY 1)),
+sup AS (SELECT DISTINCT substr(subj, 1, 20) AS conv, obj FROM canon
+        WHERE pred IN ('{_P_MENTIONS}', '{_P_MENT_ENT}')),
+disc AS (SELECT subj AS conv, obj FROM canon WHERE pred = '{_P_DISCUSS}'),
+c3 AS (SELECT count(*) AS ck,
+              sum(CASE WHEN s.conv IS NULL THEN 1 ELSE 0 END) AS v
+       FROM disc d LEFT JOIN sup s
+         ON s.conv = d.conv AND s.obj = d.obj)
+SELECT 'conv_turn_count' AS rule, CAST(ck AS BIGINT) AS n_checked,
+       CAST(v AS BIGINT) AS n_violations FROM c1
+UNION ALL SELECT 'turn_single_type', CAST(ck AS BIGINT), CAST(v AS BIGINT) FROM c2
+UNION ALL SELECT 'discusses_supported', CAST(ck AS BIGINT), CAST(v AS BIGINT) FROM c3
+UNION ALL SELECT 'conv_min_entities', CAST(ck AS BIGINT), CAST(v AS BIGINT) FROM c4
+""".strip()
+
+    _ORACLES["kg_delta_update"] = canon
+
+    _ORACLES["dedup_cluster_stats"] = f"""
+WITH ph AS ({poly_content_hash_sql()}),
+c AS (SELECT h1, h2, count(*) AS sz FROM ph GROUP BY 1, 2)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY 1
 """.strip()
 
     _ORACLES["corpus_quality_report"] = f"""
