@@ -724,6 +724,221 @@ def dedup_cluster_stats(sf_dir: str):
     )
 
 
+# --- KG-embedding negative sampling -------------------------------------------
+
+
+@register("kg_negative_sampling", oracle=None)  # oracle filled by _late_oracles
+def kg_negative_sampling(sf_dir: str):
+    """Filtered negative sampling over the KG's discusses edges — the
+    training-data generator for translational KG-embedding models
+    (TransE, Bordes et al. NeurIPS 2013: corrupt each positive triple's
+    object, FILTERED so no sampled negative is itself a true edge).
+    Corruption is hash-derandomized: the replacement entity index is the
+    triple's 64-bit polynomial content hash mod |entity vocabulary|, so
+    the sample is a pure function of the KG and mirrors bit-exactly in
+    SQL. Plan: the entity vocabulary (result-scale: distinct discussed
+    entities) broadcasts once via ray.put; corruption is one vectorized
+    pass (poly hash of s␟p␟o → vocab gather, self-corruptions dropped);
+    the filter step is ONE tag-union hash exchange on the (subj,
+    candidate-object) key against the true edge set — never a driver
+    anti-join."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.dedup import poly_content_hashes
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+
+    def only_disc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pred" not in t.column_names:
+            return pa.schema(
+                [("subj", pa.string()), ("obj", pa.string())]
+            ).empty_table()
+        return t.filter(pc.equal(t["pred"], _P_DISCUSS)).select(["subj", "obj"])
+
+    disc = canon.map_batches(only_disc, batch_format="pyarrow").materialize()
+
+    def emit_obj(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("o", pa.string())]).empty_table()
+        return pa.table(
+            {"o": np.unique(t["obj"].to_numpy(zero_copy_only=False))}
+        )
+
+    vocab = np.array(
+        sorted(disc.map_batches(emit_obj, batch_format="pyarrow").unique("o") or [])
+    )
+    vocab_ref = ray.put(vocab)
+
+    _CAND = pa.schema(
+        [("subj", pa.string()), ("obj_pos", pa.string()), ("obj_neg", pa.string())]
+    )
+
+    class Corrupt:
+        def __init__(self, vocab_ref):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "subj" not in t.column_names:
+                return _CAND.empty_table()
+            text = pc.binary_join_element_wise(
+                t["subj"], pa.scalar(_P_DISCUSS), t["obj"], "\x1f"
+            )
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            h1, _h2 = poly_content_hashes(text)
+            # h1 is the SIGNED (u ^ 2^63) view — un-flip to the true
+            # unsigned polynomial value so idx == SQL's (h1 + 2^63) % V
+            u = h1.view(np.uint64) ^ np.uint64(1 << 63)
+            idx = u % np.uint64(len(self.vocab))
+            neg = self.vocab[idx.astype(np.int64)]
+            obj = t["obj"].to_numpy(zero_copy_only=False)
+            keep = neg != obj
+            return pa.table(
+                {
+                    "subj": t["subj"].filter(pa.array(keep)),
+                    "obj_pos": pa.array(obj[keep]),
+                    "obj_neg": pa.array(neg[keep]),
+                }
+            )
+
+    cands = disc.map_batches(
+        Corrupt,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"vocab_ref": vocab_ref},
+    )
+
+    # filtered step: drop candidates whose (subj, obj_neg) is a true edge
+    _TAG = pa.schema(
+        [("key", pa.string()), ("side", pa.int8()), ("obj_pos", pa.string())]
+    )
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "obj_neg" not in t.column_names:
+            return _TAG.empty_table()
+        key = pc.binary_join_element_wise(t["subj"], t["obj_neg"], "\x1f")
+        return pa.table(
+            {
+                "key": key,
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                "obj_pos": t["obj_pos"],
+            }
+        )
+
+    def tag_true(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "obj" not in t.column_names:
+            return _TAG.empty_table()
+        key = pc.binary_join_element_wise(t["subj"], t["obj"], "\x1f")
+        return pa.table(
+            {
+                "key": key,
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+                "obj_pos": t["obj"],
+            }
+        )
+
+    tagged = cands.map_batches(tag_cand, batch_format="pyarrow").union(
+        disc.map_batches(tag_true, batch_format="pyarrow")
+    )
+
+    def keep_unfiltered(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _CAND.empty_table()
+        d = t.sort_by([("key", "ascending"), ("side", "ascending")])
+        key = d["key"].to_numpy(zero_copy_only=False)
+        side = d["side"].to_numpy(zero_copy_only=False)
+        starts, ends = runs(key)
+        ok = side[ends - 1] == 0  # run has NO true-edge row
+        out_idx = []
+        for s, e, k in zip(starts, ends, ok):
+            if k:
+                out_idx.append(np.arange(s, e, dtype=np.int64))
+        if not out_idx:
+            return _CAND.empty_table()
+        idx = pa.array(np.concatenate(out_idx), pa.int64())
+        keys = d["key"].take(idx)
+        # key = subj ␟ obj_neg — recover both halves from the packed key
+        split = pc.split_pattern(keys, pattern="\x1f")
+        return pa.table(
+            {
+                "subj": pc.list_element(split, 0),
+                "obj_pos": d["obj_pos"].take(idx),
+                "obj_neg": pc.list_element(split, 1),
+            }
+        )
+
+    return hash_grouped(tagged, ["key"], reserve_cpus=False).map_batches(
+        keep_unfiltered, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+# --- GraphRAG-style 2-hop subgraph export -------------------------------------
+
+_SUB_SEEDS = 10
+_SUB_K = 2
+
+
+@register("kg_subgraph_export", oracle=None)  # oracle filled by _late_oracles
+def kg_subgraph_export(sf_dir: str):
+    """Induced {_SUB_K}-hop subgraph around the {_SUB_SEEDS}
+    lexicographically-first subject entities: every canonical edge whose
+    BOTH endpoints are within {_SUB_K} BFS hops of the seed set, weighted
+    by predicate multiplicity — the neighborhood-export a GraphRAG /
+    KG-embedding trainer materializes per entity batch. Plan: BFS via
+    stages/graph.khop_distances (node-scale exchanges); the reached node
+    set is RESULT-scale, broadcast once; the induced-edge filter is one
+    vectorized is_in pass over the edge blocks + a grouped predicate
+    count. Same seed rule as kg_khop_reach, so the SQL mirror shares its
+    unrolled min-dist CTE chain."""
+    from ray.data.aggregate import Count
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.graph import khop_distances
+
+    edges = run_kg_pipeline(sf_dir).select_columns(["subj", "obj"]).materialize()
+
+    def emit_src(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("s", pa.string())]).empty_table()
+        return pa.table(
+            {"s": np.unique(t["subj"].to_numpy(zero_copy_only=False))}
+        )
+
+    srcs = sorted(
+        edges.map_batches(emit_src, batch_format="pyarrow").unique("s") or []
+    )
+    seeds = np.array(srcs[:_SUB_SEEDS])
+    reach = khop_distances(edges, seeds, k=_SUB_K)
+    nodes_ref = ray.put(
+        np.sort(reach["node"].to_numpy(zero_copy_only=False))
+    )
+
+    _EDGE = pa.schema([("subj", pa.string()), ("obj", pa.string())])
+
+    class Induce:
+        def __init__(self, nodes_ref):
+            self.nodes = pa.array(ray.get(nodes_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "subj" not in t.column_names:
+                return _EDGE.empty_table()
+            keep = pc.and_(
+                pc.is_in(t["subj"], value_set=self.nodes),
+                pc.is_in(t["obj"], value_set=self.nodes),
+            )
+            return t.filter(keep).select(["subj", "obj"])
+
+    induced = edges.map_batches(
+        Induce,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"nodes_ref": nodes_ref},
+    )
+    return induced.groupby(["subj", "obj"]).aggregate(
+        Count(alias_name="n_preds")
+    )
+
+
 # --- oracles -----------------------------------------------------------------
 
 
@@ -800,6 +1015,59 @@ UNION ALL SELECT 'conv_min_entities', CAST(ck AS BIGINT), CAST(v AS BIGINT) FROM
 """.strip()
 
     _ORACLES["kg_delta_update"] = canon
+
+    _ORACLES["kg_negative_sampling"] = f"""
+WITH canon AS MATERIALIZED ({canon}),
+disc AS MATERIALIZED (SELECT subj, obj FROM canon WHERE pred = '{_P_DISCUSS}'),
+vocab AS (SELECT ent, row_number() OVER (ORDER BY ent) - 1 AS idx
+          FROM (SELECT DISTINCT obj AS ent FROM disc)),
+nv AS (SELECT count(*) AS v FROM vocab),
+trip AS MATERIALIZED (
+  SELECT subj, obj,
+         subj || chr(31) || '{_P_DISCUSS}' || chr(31) || obj AS text,
+         row_number() OVER (ORDER BY subj, obj) AS doc_id
+  FROM disc
+),
+ph AS ({poly_content_hash_sql("text", "trip")}),
+cand AS (
+  SELECT t.subj, t.obj AS obj_pos, v.ent AS obj_neg
+  FROM trip t
+  JOIN ph ON ph.doc_id = t.doc_id
+  CROSS JOIN nv
+  JOIN vocab v
+    ON v.idx = (CAST(ph.h1 AS HUGEINT) + 9223372036854775808) % nv.v
+)
+SELECT c.subj, c.obj_pos, c.obj_neg
+FROM cand c
+WHERE c.obj_neg <> c.obj_pos
+  AND NOT EXISTS (SELECT 1 FROM disc d
+                  WHERE d.subj = c.subj AND d.obj = c.obj_neg)
+""".strip()
+
+    sub_cte = [
+        f"canon AS MATERIALIZED ({canon})",
+        "edges AS MATERIALIZED"
+        " (SELECT DISTINCT subj AS src, obj AS dst FROM canon)",
+        f"seeds AS (SELECT DISTINCT src AS node FROM edges"
+        f" ORDER BY node LIMIT {_SUB_SEEDS})",
+        "d0 AS (SELECT node FROM seeds)",
+    ]
+    for r in range(1, _SUB_K + 1):
+        sub_cte.append(
+            f"d{r} AS MATERIALIZED (SELECT node FROM d{r - 1} UNION"
+            f" SELECT e.dst FROM edges e JOIN d{r - 1} p ON p.node = e.src)"
+        )
+    _ORACLES["kg_subgraph_export"] = (
+        "WITH "
+        + ",\n".join(sub_cte)
+        + f"""
+SELECT c.subj, c.obj, CAST(count(*) AS BIGINT) AS n_preds
+FROM canon c
+JOIN d{_SUB_K} a ON a.node = c.subj
+JOIN d{_SUB_K} b ON b.node = c.obj
+GROUP BY 1, 2
+""".rstrip()
+    )
 
     _ORACLES["dedup_cluster_stats"] = f"""
 WITH ph AS ({poly_content_hash_sql()}),
