@@ -1,0 +1,346 @@
+"""Round-3 continuation operators (batch 4): conversation-level SFT
+quality gate over the transcript payload, a TPC-H Q18-style
+large-volume having-semi-join, and a cross-source duplicate-overlap
+matrix for corpus curation.
+
+Engine surface beyond the reference's triple model (the reference,
+cmd/ntto/ntto.go, stops at parse→abbreviate→render); every query carries
+an exact DuckDB oracle. All outputs are integer/string typed (no float
+hash drift).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ntto_ray.registry import register
+
+# --- conversation-level SFT gate ----------------------------------------------
+
+_SFT_MIN_CHARS = 560  # total chars across all turns (tuned: ~80% pass at sf0.01)
+_SFT_MIN_TURNS = 6
+_SFT_MIN_TOOL = 1
+
+
+def _sft_oracle() -> str:
+    from ntto_ray.functions import kgspec as K
+
+    return f"""
+WITH t AS ({K.transcripts_sql()}),
+agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT)                                  AS n_turns,
+         CAST(sum(CASE WHEN role = 'user' THEN length(text) ELSE 0 END) AS BIGINT)      AS user_chars,
+         CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END) AS BIGINT) AS asst_chars,
+         CAST(sum(CASE WHEN role = 'tool' THEN length(text) ELSE 0 END) AS BIGINT)      AS tool_chars,
+         CAST(sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT)                    AS n_tool_calls
+  FROM t GROUP BY 1
+)
+SELECT conv_id, n_turns, user_chars, asst_chars, tool_chars, n_tool_calls,
+       CAST(CASE WHEN n_turns >= {_SFT_MIN_TURNS}
+                  AND n_tool_calls >= {_SFT_MIN_TOOL}
+                  AND user_chars + asst_chars + tool_chars >= {_SFT_MIN_CHARS}
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM agg
+""".strip()
+
+
+@register("kg_conv_sft_gate", oracle=None)  # oracle filled by _late_oracles
+def kg_conv_sft_gate(sf_dir: str):
+    """Conversation-level SFT-readiness gate over the transcript payload
+    (the input_hint table itself, not the derived KG): per conversation,
+    turn count, per-role character mass, tool-call count, and a keep
+    decision (enough turns, at least one tool call, enough total text) —
+    the admission filter an instruction-tuning data pipeline runs before
+    a conversation enters the training mix. The reference has no
+    conversation concept at all (one NT line = one record,
+    cmd/ntto/ntto.go:162-197).
+
+    Plan: one vectorized indicator pass (role one-hot × utf8_length, no
+    Python rows) → ONE grouped-aggregate exchange keyed on conv_id
+    moving 6-int partials per turn → a final vectorized keep flag.
+    Integer chars only; no float drift."""
+    from ray.data.aggregate import Count, Sum
+
+    from ntto_ray.sources.transcripts import synth_transcripts
+
+    ds = synth_transcripts(sf_dir)
+
+    def indicators(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "conv_id" not in t.column_names:
+            return pa.schema(
+                [
+                    ("conv_id", pa.string()),
+                    ("uc", pa.int64()),
+                    ("ac", pa.int64()),
+                    ("tc", pa.int64()),
+                    ("ntool", pa.int64()),
+                ]
+            ).empty_table()
+        chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        role = t["role"]
+        zero = pa.scalar(0, pa.int64())
+        uc = pc.if_else(pc.equal(role, "user"), chars, zero)
+        ac = pc.if_else(pc.equal(role, "assistant"), chars, zero)
+        tc = pc.if_else(pc.equal(role, "tool"), chars, zero)
+        ntool = pc.cast(pc.not_equal(t["tool"], ""), pa.int64())
+        return pa.table(
+            {"conv_id": t["conv_id"], "uc": uc, "ac": ac, "tc": tc, "ntool": ntool}
+        )
+
+    agg = (
+        ds.map_batches(indicators, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Count(alias_name="n_turns"),
+            Sum("uc", alias_name="user_chars"),
+            Sum("ac", alias_name="asst_chars"),
+            Sum("tc", alias_name="tool_chars"),
+            Sum("ntool", alias_name="n_tool_calls"),
+        )
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_turns" not in t.column_names:
+            return pa.schema(
+                [
+                    ("conv_id", pa.string()),
+                    ("n_turns", pa.int64()),
+                    ("user_chars", pa.int64()),
+                    ("asst_chars", pa.int64()),
+                    ("tool_chars", pa.int64()),
+                    ("n_tool_calls", pa.int64()),
+                    ("keep", pa.int64()),
+                ]
+            ).empty_table()
+        total = pc.add(
+            pc.add(t["user_chars"], t["asst_chars"]), t["tool_chars"]
+        )
+        keep = pc.cast(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["n_turns"], _SFT_MIN_TURNS),
+                    pc.greater_equal(t["n_tool_calls"], _SFT_MIN_TOOL),
+                ),
+                pc.greater_equal(total, _SFT_MIN_CHARS),
+            ),
+            pa.int64(),
+        )
+        return t.append_column("keep", keep)
+
+    return agg.map_batches(gate, batch_format="pyarrow")
+
+
+# --- TPC-H Q18-style large-volume orders --------------------------------------
+
+_Q18_QTY = 180
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q18_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""".strip()
+
+
+@register("rel_q18_volume", oracle=_Q18_ORACLE)
+def rel_q18_volume(sf_dir: str):
+    """TPC-H Q18 (large-volume customer): orders whose total lineitem
+    quantity exceeds {_Q18_QTY}, joined back to orders and customers.
+    The classic HAVING-on-aggregate → semi-join-back shape.
+
+    Plan: ONE grouped-Sum exchange on l_orderkey (per-block partials
+    first via the C++ hash aggregate), filter to the surviving orders
+    (result-scale), then TWO distributed hash joins (Dataset.join,
+    partitions sized from known row counts) — the surviving-order side
+    is tiny so each join's aggregator actors move result-scale rows;
+    orders and customer both STREAM, never broadcast (the round-2
+    verdict's fact-scale-dim rule)."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.queries_rel import _cents, _read
+    from ntto_ray.stages.exchange import join_parallelism
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "q": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    big = (
+        li.map_batches(qty_prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="sum_qty"))
+        .filter(expr=f"sum_qty > {_Q18_QTY}")
+        .materialize()
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "total_c": _cents(t["o_totalprice"]),
+            }
+        )
+
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(ord_prep, batch_format="pyarrow")
+        .materialize()
+    )
+    j1 = big.join(
+        orders,
+        "inner",
+        num_partitions=join_parallelism(big, orders),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).materialize()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).materialize()
+    j2 = j1.join(
+        cust,
+        "inner",
+        num_partitions=join_parallelism(j1, cust),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_name" not in t.column_names:
+            return pa.schema(
+                [
+                    ("c_custkey", pa.int64()),
+                    ("c_name", pa.string()),
+                    ("o_orderkey", pa.int64()),
+                    ("total_c", pa.int64()),
+                    ("sum_qty", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": t["c_name"],
+                "o_orderkey": t["l_orderkey"],
+                "total_c": t["total_c"],
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    return j2.map_batches(project, batch_format="pyarrow")
+
+
+# --- cross-source duplicate overlap -------------------------------------------
+
+_OVL_KEY_CHARS = 30
+
+_OVL_ORACLE = f"""
+WITH k AS (
+  SELECT DISTINCT substr(text, 1, {_OVL_KEY_CHARS}) AS key, source
+  FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM k a JOIN k b ON a.key = b.key AND a.source < b.source
+GROUP BY 1, 2
+""".strip()
+
+
+@register("corpus_source_overlap", oracle=_OVL_ORACLE)
+def corpus_source_overlap(sf_dir: str):
+    """Cross-source duplicate-overlap matrix: for every pair of corpus
+    sources, how many exact-dup clusters (by the same normalized content
+    key exact_dedup_keys uses — first {_OVL_KEY_CHARS} chars) they
+    share. This is the mirror-detection report a corpus curator runs to
+    find re-crawled / syndicated content before fixing source weights.
+
+    Plan: vectorized (key, source) projection → block-local distinct →
+    ONE hash exchange keyed on the content key (co-locates each
+    cluster) → per-block vectorized pair emission (sorted runs +
+    offset-shift trick, no per-cluster Python) → a tiny grouped Count
+    over source pairs (pair-scale rows only)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    _KS = pa.schema([("key", pa.string()), ("source", pa.string())])
+
+    def keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return _KS.empty_table()
+        key = pc.utf8_slice_codeunits(t["text"], start=0, stop=_OVL_KEY_CHARS)
+        out = pa.table({"key": key, "source": t["source"]})
+        # block-local distinct (clusters may span blocks; the exchange
+        # finishes the job)
+        return out.group_by(["key", "source"]).aggregate([])
+
+    _PAIR = pa.schema([("src_a", pa.string()), ("src_b", pa.string())])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _PAIR.empty_table()
+        # exchange partials may still hold within-partition duplicates
+        t = t.group_by(["key", "source"]).aggregate([])
+        d = t.sort_by([("key", "ascending"), ("source", "ascending")])
+        key = d["key"].to_numpy(zero_copy_only=False)
+        src = d["source"].to_numpy(zero_copy_only=False)
+        n = len(key)
+        a_parts, b_parts = [], []
+        # all (i, i+off) pairs inside a key-run, one vectorized mask per
+        # offset; max offset = largest cluster's source fanout (tiny)
+        off = 1
+        while off < n:
+            m = key[:-off] == key[off:]
+            if not m.any():
+                break
+            a_parts.append(src[:-off][m])
+            b_parts.append(src[off:][m])
+            off += 1
+        if not a_parts:
+            return _PAIR.empty_table()
+        return pa.table(
+            {
+                "src_a": pa.array(np.concatenate(a_parts)),
+                "src_b": pa.array(np.concatenate(b_parts)),
+            }
+        )
+
+    grouped = hash_grouped(
+        docs.map_batches(keys, batch_format="pyarrow"), ["key"], reserve_cpus=False
+    )
+    return (
+        grouped.map_batches(
+            pairs, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
+        .groupby(["src_a", "src_b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+
+
+# --- oracles -----------------------------------------------------------------
+
+
+def _late_oracles():
+    from ntto_ray.registry import _ORACLES
+
+    _ORACLES["kg_conv_sft_gate"] = _sft_oracle()
+
+
+_late_oracles()

@@ -74,5 +74,6 @@ def _load():
     from ntto_ray import queries_llm_ext  # noqa: F401
     from ntto_ray import queries_llm_ext2  # noqa: F401
     from ntto_ray import queries_llm_ext3  # noqa: F401
+    from ntto_ray import queries_llm_ext4  # noqa: F401
 
     _LOADED = True
