@@ -334,13 +334,276 @@ def corpus_source_overlap(sf_dir: str):
     )
 
 
+# --- deterministic Lloyd k-means over the embedding column --------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_FP = 1_000_000  # fixed-point scale (ann_label_centroids discipline)
+_KM_DIM = 64
+
+
+def _km_fixed_point(t: pa.Table) -> np.ndarray:
+    """(n, dim) int64 fixed-point matrix from the list<float> column.
+    float32→double is exact, so both engines floor the identical value."""
+    emb = t["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    x = np.floor(flat * _KM_FP).astype(np.int64)
+    return x.reshape(len(emb), -1)
+
+
+def _km_assign(x_int: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Index into cents of the nearest centroid (squared L2, ties to the
+    lowest centroid id — np.argmin's first-minimum matches the oracle's
+    ORDER BY dist, cid)."""
+    # (n, k) distances without the (n, k, d) intermediate:
+    # |x-c|^2 = |x|^2 - 2 x·c + |c|^2 ; |x|^2 is rank-constant, drop it.
+    cross = x_int @ cents.T  # int64 exact: |x·c| <= d * 1e6 * 1e6 < 2^63
+    cnorm = np.einsum("kd,kd->k", cents, cents)
+    score = cnorm[None, :] - 2 * cross
+    return np.argmin(score, axis=1)
+
+
+@register("ann_kmeans_clusters", oracle=None)  # oracle filled by _late_oracles
+def ann_kmeans_clusters(sf_dir: str):
+    """Deterministic Lloyd k-means over the embedding table — the
+    clustering primitive behind IVF coarse quantizers and corpus
+    topic-bucketing, made hash-exact: vectors are fixed-pointed
+    (floor(v·1e6) int64), distances are exact int64, centroid updates
+    are truncating integer division (DuckDB's `//`), and the seed
+    centroids are the first {_KM_K} vectors by vec_id. Cluster id = the
+    seed's vec_id.
+
+    Plan: per iteration, centroids ({_KM_K}×{_KM_DIM} ints) broadcast in
+    the task closure; each block computes assignments via one int64
+    matmul (|x−c|² = |c|²−2x·c, no (n,k,d) intermediate) and emits
+    (cid, dim, partial_sum, n) rows — the exchange moves
+    k×dim-scale partials, never vectors; the driver folds the
+    result-scale table into the next centroids. Final pass emits
+    (vec_id, cluster). {_KM_ITERS} updates + 1 assignment, each ONE tiny
+    grouped exchange."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    seed_t = pa.concat_tables(
+        [
+            ray.get(ref)
+            for ref in emb.filter(
+                expr=f"vec_id < {_KM_K}"
+            ).to_arrow_refs()
+        ]
+    ).sort_by("vec_id")
+    cids = seed_t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = _km_fixed_point(seed_t)
+
+    _PART = pa.schema(
+        [
+            ("cid", pa.int64()),
+            ("dim", pa.int64()),
+            ("s", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    for _ in range(_KM_ITERS):
+        c_snap, id_snap = cents.copy(), cids.copy()
+
+        def partial(t: pa.Table, _c=c_snap, _ids=id_snap) -> pa.Table:
+            if t.num_rows == 0 or "embedding" not in t.column_names:
+                return _PART.empty_table()
+            x = _km_fixed_point(t)
+            a = _km_assign(x, _c)
+            k, d = _c.shape
+            sums = np.zeros((k, d), np.int64)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            live = cnt > 0
+            kk = int(live.sum())
+            return pa.table(
+                {
+                    "cid": pa.array(np.repeat(_ids[live], d)),
+                    "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), kk)),
+                    "s": pa.array(sums[live].reshape(-1)),
+                    "n": pa.array(np.repeat(cnt[live], d)),
+                }
+            )
+
+        folded = (
+            emb.map_batches(partial, batch_format="pyarrow")
+            .groupby(["cid", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()  # k×dim rows — result-scale
+        )
+        new = cents.copy()
+        if len(folded):
+            ci = np.searchsorted(cids, folded["cid"].to_numpy())
+            di = folded["dim"].to_numpy() - 1
+            s = folded["s"].to_numpy()
+            n = folded["n"].to_numpy()
+            # truncating division toward zero == DuckDB's BIGINT //
+            q = np.sign(s) * (np.abs(s) // n)
+            new[ci, di] = q
+        cents = new
+
+    _OUT = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
+
+    def assign(t: pa.Table, _c=cents, _ids=cids) -> pa.Table:
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return _OUT.empty_table()
+        a = _km_assign(_km_fixed_point(t), _c)
+        return pa.table({"vec_id": t["vec_id"], "cluster": pa.array(_ids[a])})
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def _km_oracle() -> str:
+    fp = _KM_FP
+    cte = [
+        f"""vecs AS MATERIALIZED (
+  SELECT vec_id, r.i AS dim,
+         CAST(floor(CAST(embedding[CAST(r.i AS INTEGER)] AS DOUBLE) * {fp}) AS BIGINT) AS x
+  FROM embeddings, range(1, {_KM_DIM + 1}) r(i))""",
+        f"c0 AS (SELECT vec_id AS cid, dim, x FROM vecs WHERE vec_id < {_KM_K})",
+    ]
+    for it in range(_KM_ITERS):
+        cte.append(
+            f"""a{it} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY sum((v.x - c.x) * (v.x - c.x)), c.cid) AS rn
+    FROM vecs v JOIN c{it} c USING (dim)
+    GROUP BY v.vec_id, c.cid) WHERE rn = 1)""",
+        )
+        cte.append(
+            f"""s{it} AS (
+  SELECT a.cid, v.dim, sum(v.x) AS s, count(*) AS n
+  FROM a{it} a JOIN vecs v USING (vec_id) GROUP BY 1, 2)""",
+        )
+        cte.append(
+            f"""c{it + 1} AS MATERIALIZED (
+  SELECT p.cid, p.dim, COALESCE(s.s // s.n, p.x) AS x
+  FROM c{it} p LEFT JOIN s{it} s ON s.cid = p.cid AND s.dim = p.dim)""",
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY sum((v.x - c.x) * (v.x - c.x)), c.cid) AS rn
+  FROM vecs v JOIN c{_KM_ITERS} c USING (dim)
+  GROUP BY v.vec_id, c.cid) WHERE rn = 1"""
+    )
+
+
+# --- temporal KG growth curve --------------------------------------------------
+
+
+@register("kg_growth_curve", oracle=None)  # oracle filled by _late_oracles
+def kg_growth_curve(sf_dir: str):
+    """KG growth curve: canonical triples bucketed by the HOUR of their
+    first assertion (the transcript timestamp spec: conversation doc_id
+    starts at minute doc_id, turn k at +5k seconds — functions/kgspec.py
+    transcripts_sql). The monitoring view an incremental KG builder
+    plots to see edge-discovery rate over ingest time.
+
+    Plan: abbreviated triples keep (conv_id, turn_idx) lineage; the
+    assertion second is derived vectorized (slice conv_id → int64,
+    ×60 + 5·turn) → per-block min per (s,p,o) partial → ONE hash
+    exchange on the triple key → exact min → per-block hour histogram
+    partials → tiny grouped Sum (bucket-scale)."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import abbreviate, extract_triples
+    from ntto_ray.sources.transcripts import synth_transcripts
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    abbrev = abbreviate(extract_triples(synth_transcripts(sf_dir)))
+
+    _PART = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("sec", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _PART.empty_table()
+        doc = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], start=5), pa.int64())
+        sec = pc.add(
+            pc.multiply(doc, pa.scalar(60, pa.int64())),
+            pc.multiply(pc.cast(t["turn_idx"], pa.int64()), pa.scalar(5, pa.int64())),
+        )
+        g = (
+            t.select(["subj", "pred", "obj"])
+            .append_column("sec", sec)
+            .group_by(["subj", "pred", "obj"])
+            .aggregate([("sec", "min")])
+        )
+        return g.rename_columns(["subj", "pred", "obj", "sec"])
+
+    grouped = hash_grouped(
+        abbrev.map_batches(partial, batch_format="pyarrow"),
+        ["subj", "pred", "obj"],
+        sort=False,
+    )
+
+    _H = pa.schema([("hour", pa.int64()), ("n", pa.int64())])
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _H.empty_table()
+        m = t.group_by(["subj", "pred", "obj"]).aggregate([("sec", "min")])
+        hour = pc.divide(m["sec_min"], pa.scalar(3600, pa.int64()))
+        vc = pa.table({"hour": hour}).group_by(["hour"]).aggregate([("hour", "count")])
+        return pa.table(
+            {"hour": vc["hour"], "n": pc.cast(vc["hour_count"], pa.int64())}
+        )
+
+    return (
+        grouped.map_batches(
+            hour_partial, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n_triples"))
+    )
+
+
 # --- oracles -----------------------------------------------------------------
 
 
 def _late_oracles():
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.pipelines.kg import pipeline_rules
     from ntto_ray.registry import _ORACLES
 
     _ORACLES["kg_conv_sft_gate"] = _sft_oracle()
+    _ORACLES["ann_kmeans_clusters"] = _km_oracle()
+
+    abbrev = K.triples_abbrev_sql(pipeline_rules())
+    _ORACLES["kg_growth_curve"] = f"""
+WITH abbrev AS ({abbrev}),
+f AS (
+  SELECT subj, pred, obj,
+         min(CAST(substr(conv_id, 6) AS BIGINT) * 60 + turn_idx * 5) AS sec
+  FROM abbrev GROUP BY 1, 2, 3
+)
+SELECT CAST(sec // 3600 AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_triples
+FROM f GROUP BY 1
+""".strip()
 
 
 _late_oracles()
