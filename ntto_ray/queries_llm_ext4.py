@@ -581,6 +581,198 @@ def kg_growth_curve(sf_dir: str):
     )
 
 
+# --- ER merge map: sameAs resolution over conversation entities ---------------
+
+_MERGE_PCT = 58
+
+
+@register("kg_entity_merge_map", oracle=None)  # oracle filled by _late_oracles
+def kg_entity_merge_map(sf_dir: str):
+    """Entity-resolution MERGE step: conversations whose discusses-profile
+    Jaccard clears {_MERGE_PCT}% are declared the same underlying
+    discussion (owl:sameAs-style), and the pair list is closed into
+    connected components so every merged conversation maps to ONE
+    canonical id (the component minimum) — the step that turns ER pair
+    scores into an id-rewrite table a KG builder applies before
+    canonicalization. Plan: the SAME globally-exact profile-Jaccard join
+    as kg_er_profile_jaccard feeds distributed min-label propagation
+    (stages/graph.connected_components — edges stay a Dataset; rounds
+    bounded by component diameter). Output is merge-scale (only convs
+    that merged with someone)."""
+    from ntto_ray.queries_llm_ext3 import kg_er_profile_jaccard
+    from ntto_ray.stages.graph import connected_components
+
+    pairs = kg_er_profile_jaccard(sf_dir).filter(
+        expr=f"jaccard_pct >= {_MERGE_PCT}"
+    )
+    comp = connected_components(pairs, a_col="conv_a", b_col="conv_b")
+    return comp.rename_columns(["conv", "canonical"])
+
+
+# --- TPC-H Q7-style nation-pair trade flow -------------------------------------
+
+_Q7_ORACLE = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE s.s_nationkey <> c.c_nationkey
+GROUP BY 1, 2
+""".strip()
+
+
+@register("rel_q7_trade_flow", oracle=_Q7_ORACLE)
+def rel_q7_trade_flow(sf_dir: str):
+    """TPC-H Q7 (volume shipping): discounted revenue between every
+    (supplier nation, customer nation) pair — the deepest join chain in
+    the suite (lineitem ⋈ supplier ⋈ orders ⋈ customer + two nation
+    lookups). Scale shape: THREE distributed hash joins (both sides
+    stream — supplier and customer grow with the fact table, so neither
+    is broadcast, per the round-2 verdict's fact-scale-dim rule); the
+    constant 25-row nation dim folds in map-side; a per-block
+    (orderkey, supp-nation) combiner between joins cuts the second
+    join's input; only the nation×nation aggregate leaves the last
+    stage. Revenue is 4-decimal integer cents (queries_rel exactness
+    discipline)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.queries_rel import _cents, _read
+    from ntto_ray.stages.exchange import join_parallelism
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(
+                pa.scalar(100, pa.int64()),
+                pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()),
+            ),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "rev": rev,
+            }
+        )
+
+    li = li.map_batches(li_prep, batch_format="pyarrow").materialize()
+
+    def supp_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        )
+
+    supp = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(supp_prep, batch_format="pyarrow")
+        .materialize()
+    )
+    j1 = li.join(
+        supp,
+        "inner",
+        num_partitions=join_parallelism(li, supp),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    # map-side combiner: one (orderkey, supp-nation) partial per block
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return pa.schema(
+                [
+                    ("l_orderkey", pa.int64()),
+                    ("s_nat", pa.int64()),
+                    ("rev", pa.int64()),
+                ]
+            ).empty_table()
+        g = (
+            t.select(["l_orderkey", "s_nat", "rev"])
+            .group_by(["l_orderkey", "s_nat"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "s_nat", "rev"])
+
+    j1 = j1.map_batches(combine, batch_format="pyarrow").materialize()
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).materialize()
+    j2 = j1.join(
+        orders,
+        "inner",
+        num_partitions=join_parallelism(j1, orders),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).materialize()
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nat": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        )
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(cust_prep, batch_format="pyarrow")
+        .materialize()
+    )
+    j3 = j2.join(
+        cust,
+        "inner",
+        num_partitions=join_parallelism(j2, cust),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat_keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nat_names = nat["n_name"].to_numpy(zero_copy_only=False)
+    lut = np.empty(int(nat_keys.max()) + 1, dtype=object)
+    lut[nat_keys] = nat_names
+
+    _OUT = pa.schema(
+        [("supp_nation", pa.string()), ("cust_nation", pa.string()), ("rev", pa.int64())]
+    )
+
+    def names(t: pa.Table, _lut=lut) -> pa.Table:
+        if t.num_rows == 0 or "s_nat" not in t.column_names:
+            return _OUT.empty_table()
+        s = t["s_nat"].to_numpy(zero_copy_only=False)
+        c = t["c_nat"].to_numpy(zero_copy_only=False)
+        keep = s != c
+        part = pa.table(
+            {
+                "supp_nation": pa.array(_lut[s[keep]], pa.string()),
+                "cust_nation": pa.array(_lut[c[keep]], pa.string()),
+                "rev": t["rev"].filter(pa.array(keep)),
+            }
+        )
+        g = part.group_by(["supp_nation", "cust_nation"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["supp_nation", "cust_nation", "rev"])
+
+    return (
+        j3.map_batches(names, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation"])
+        .aggregate(Sum("rev", alias_name="revenue_c4"))
+    )
+
+
 # --- oracles -----------------------------------------------------------------
 
 
@@ -603,6 +795,20 @@ f AS (
 SELECT CAST(sec // 3600 AS BIGINT) AS hour,
        CAST(count(*) AS BIGINT) AS n_triples
 FROM f GROUP BY 1
+""".strip()
+
+    er = _ORACLES["kg_er_profile_jaccard"]
+    _ORACLES["kg_entity_merge_map"] = f"""
+WITH RECURSIVE er AS MATERIALIZED ({er}),
+p AS (SELECT conv_a AS a, conv_b AS b FROM er WHERE jaccard_pct >= {_MERGE_PCT}),
+edges AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+)
+SELECT CAST(a AS BIGINT) AS conv, CAST(least(a, min(b)) AS BIGINT) AS canonical
+FROM reach GROUP BY a
 """.strip()
 
 
