@@ -773,6 +773,73 @@ def rel_q7_trade_flow(sf_dir: str):
     )
 
 
+# --- inverse prefix expansion (abbrev → full IRI round-trip) -------------------
+
+
+@register("kg_expand_roundtrip", oracle=None)  # oracle filled by _late_oracles
+def kg_expand_roundtrip(sf_dir: str):
+    """Inverse of the reference's core transform: expand every
+    abbreviated ``shortcut:rest`` back to its full IRI (first rule wins
+    when two rules share a shortcut — the rule-order discipline of
+    common.go:104-127 read backwards). The ORACLE is the raw canonical
+    triple set itself (DISTINCT over the pre-abbreviation extract), so
+    the query proves expand∘abbreviate == identity on the whole KG — a
+    property the reference never checks (it has no expand path at all).
+
+    Plan: one stateless vectorized pass over the canonical triples: head
+    = text before the first ':', binary-searched against the sorted
+    shortcut table (broadcast, 226 rows), matched rows re-joined as
+    prefix‖rest — no per-row Python, no extra exchange beyond the KG
+    pipeline's own."""
+    from ntto_ray.pipelines.kg import pipeline_rules, run_kg_pipeline
+
+    # first occurrence wins for duplicate shortcuts (rule order)
+    d: dict[str, str] = {}
+    for r in pipeline_rules():
+        d.setdefault(r.shortcut, r.prefix)
+    sc = np.array(sorted(d))
+    px = np.array([d[s] for s in sc], dtype=object)
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+
+    def expand_col(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(col, pattern=":", max_splits=1)
+        head = pc.list_element(parts, 0).to_numpy(zero_copy_only=False)
+        # rows with no ':' have a 1-element list → rest is null
+        rest = pc.if_else(
+            pc.equal(pc.list_value_length(parts), 2),
+            pc.list_element(parts, 1),
+            pa.scalar(None, pa.string()),
+        )
+        idx = np.searchsorted(sc, head)
+        idx_c = np.clip(idx, 0, len(sc) - 1)
+        found = (sc[idx_c] == head) & ~pc.is_null(rest).to_numpy(
+            zero_copy_only=False
+        )
+        prefix = np.where(found, px[idx_c], "")
+        joined = pc.binary_join_element_wise(
+            pa.array(prefix, pa.string()), pc.fill_null(rest, ""), ""
+        )
+        return pc.if_else(pa.array(found), joined, col)
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return pa.schema(
+                [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]
+            ).empty_table()
+        return pa.table(
+            {
+                "subj": expand_col(t["subj"]),
+                "pred": expand_col(t["pred"]),
+                "obj": expand_col(t["obj"]),
+            }
+        )
+
+    return canon.map_batches(expand, batch_format="pyarrow")
+
+
 # --- oracles -----------------------------------------------------------------
 
 
@@ -809,6 +876,12 @@ reach AS (
 )
 SELECT CAST(a AS BIGINT) AS conv, CAST(least(a, min(b)) AS BIGINT) AS canonical
 FROM reach GROUP BY a
+""".strip()
+
+    # round-trip identity: expanding the abbreviated canonical KG must
+    # reproduce the DISTINCT raw (pre-abbreviation) triples exactly
+    _ORACLES["kg_expand_roundtrip"] = f"""
+SELECT DISTINCT subj, pred, obj FROM ({K.triples_raw_sql()})
 """.strip()
 
 
