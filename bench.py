@@ -143,6 +143,11 @@ def run_bench() -> dict:
         "dedup_incremental",
         "kg_pred_paths",
         "kg_entity_cards",
+        "ann_kmeans_clusters",
+        "rel_q7_trade_flow",
+        "kg_negative_sampling",
+        "kg_entity_merge_map",
+        "kg_conv_sft_gate",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)

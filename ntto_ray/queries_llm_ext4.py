@@ -844,6 +844,10 @@ def kg_expand_roundtrip(sf_dir: str):
 
 
 def _late_oracles():
+    # a Ray worker unpickling one of this module's closures imports THIS
+    # module alone — pull in llm_ext3 first so the kg_er_profile_jaccard
+    # oracle this module builds on is registered there too
+    from ntto_ray import queries_llm_ext3  # noqa: F401
     from ntto_ray.functions import kgspec as K
     from ntto_ray.pipelines.kg import pipeline_rules
     from ntto_ray.registry import _ORACLES
