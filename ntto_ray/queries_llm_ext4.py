@@ -840,6 +840,178 @@ def kg_expand_roundtrip(sf_dir: str):
     return canon.map_batches(expand, batch_format="pyarrow")
 
 
+# --- content-defined chunking (CDC) dedup --------------------------------------
+
+_CDC_M = 257  # same base as the poly content hash (stages/dedup.py)
+_CDC_W = 8  # rolling-window width (chars)
+_CDC_D = 16  # boundary divisor → expected chunk length ~16 chars
+_U64 = 18446744073709551616  # 2^64
+
+
+@register("dedup_cdc_chunks", oracle=None)  # oracle filled by _late_oracles
+def dedup_cdc_chunks(sf_dir: str):
+    """Content-defined chunking dedup report (Rabin-style CDC — the
+    storage-dedup primitive LLM corpus pipelines borrow for
+    shift-resistant sub-document dedup; Muthitacharoen et al. LBFS
+    SOSP'01): a rolling {_CDC_W}-char polynomial hash cuts a chunk
+    boundary wherever H % {_CDC_D} == 0, so an insertion early in a
+    document only re-chunks its neighborhood (fixed-size chunking would
+    shift every later chunk — compare dedup_chunks). Output: one row of
+    corpus totals — chunk instances, distinct chunks, duplicate
+    instances, total chars, and chars after chunk-level dedup.
+
+    Plan: chunking is ONE stateless vectorized pass per block (zero-copy
+    view of the Arrow string buffer → {_CDC_W} shifted uint64 adds for
+    the rolling hash, cut mask, np.add.reduceat segment hashes — no
+    per-row Python); the only exchange is a grouped Count keyed on
+    (chunk_hash, len); the final fold moves one partial row per block.
+    ASCII contract (same as poly_content_hashes)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    _CH = pa.schema([("h", pa.int64()), ("len", pa.int64())])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return _CH.empty_table()
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        odt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+        off = np.frombuffer(texts.buffers()[1], dtype=odt)[
+            texts.offset : texts.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+        flat = data[off[0] : off[-1]].astype(np.uint64)
+        starts = off[:-1] - off[0]
+        ends = off[1:] - off[0]
+        lens = ends - starts
+        total = len(flat)
+        if total == 0:
+            return _CH.empty_table()
+        max_len = int(lens.max())
+        pw = np.ones(max(max_len, _CDC_W), dtype=np.uint64)
+        np.multiply.accumulate(
+            np.full(len(pw) - 1, _CDC_M, dtype=np.uint64), out=pw[1:]
+        )
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        doc_len = np.repeat(lens, lens)
+        # rolling window hash at flat p: Σ c[p+k]·M^k (uint64 wraps mod 2^64)
+        H = np.zeros(total, dtype=np.uint64)
+        for k in range(_CDC_W):
+            H[: total - k] += flat[k:] * pw[k]
+        valid = pos <= doc_len - _CDC_W
+        cut = valid & (H % np.uint64(_CDC_D) == 0)
+        # cut AFTER char p+W-1 → next chunk starts at p+W
+        B = np.zeros(total, dtype=bool)
+        B[starts[lens > 0]] = True
+        nxt = np.flatnonzero(cut) + _CDC_W
+        B[nxt[nxt < total]] = True
+        cstarts = np.flatnonzero(B)
+        cid = np.cumsum(B) - 1
+        e = np.arange(total, dtype=np.int64) - cstarts[cid]
+        contrib = flat * pw[e]
+        h = np.add.reduceat(contrib, cstarts)  # uint64 wrap-exact
+        clen = np.diff(np.append(cstarts, total))
+        return pa.table(
+            {
+                "h": pa.array((h ^ np.uint64(1 << 63)).view(np.int64)),
+                "len": pa.array(clen.astype(np.int64)),
+            }
+        )
+
+    grouped = (
+        docs.map_batches(chunk, batch_format="pyarrow")
+        .groupby(["h", "len"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+    _OUT = pa.schema(
+        [
+            ("n_chunks", pa.int64()),
+            ("n_distinct_chunks", pa.int64()),
+            ("dup_chunk_instances", pa.int64()),
+            ("chars_total", pa.int64()),
+            ("chars_dedup", pa.int64()),
+        ]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cnt" not in t.column_names:
+            return _OUT.empty_table()
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        ln = t["len"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_chunks": pa.array([int(cnt.sum())], pa.int64()),
+                "n_distinct_chunks": pa.array([len(cnt)], pa.int64()),
+                "dup_chunk_instances": pa.array(
+                    [int(cnt.sum()) - len(cnt)], pa.int64()
+                ),
+                "chars_total": pa.array([int((cnt * ln).sum())], pa.int64()),
+                "chars_dedup": pa.array([int(ln.sum())], pa.int64()),
+            }
+        )
+
+    parts = grouped.map_batches(fold, batch_format="pyarrow").to_pandas()
+    one = pa.table(
+        {c: pa.array([int(parts[c].sum())], pa.int64()) for c in parts.columns}
+    )
+    return one
+
+
+def _cdc_oracle() -> str:
+    return f"""
+WITH RECURSIVE docs AS MATERIALIZED (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+mx AS (SELECT max(n) AS m FROM docs),
+pw AS (
+  SELECT 0 AS k, CAST(1 AS UHUGEINT) AS p
+  UNION ALL
+  SELECT k + 1, (p * {_CDC_M}) % {_U64} FROM pw, mx WHERE k < mx.m),
+pos AS MATERIALIZED (
+  SELECT d.doc_id, u.i AS i,
+         CAST(ascii(substr(d.text, CAST(u.i AS INTEGER), 1)) AS HUGEINT) AS c
+  FROM docs d, unnest(range(1, d.n + 1)) AS u(i)),
+wh AS (
+  SELECT a.doc_id, a.i AS j,
+         sum(b.c * CAST(pw.p AS HUGEINT)) % {_U64} AS h
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + {_CDC_W - 1}
+  JOIN pw ON pw.k = b.i - a.i
+  GROUP BY 1, 2 HAVING count(*) = {_CDC_W}),
+cuts AS (SELECT doc_id, j + {_CDC_W - 1} AS cutpos FROM wh WHERE h % {_CDC_D} = 0),
+flag AS (
+  SELECT p.doc_id, p.i, p.c,
+         CASE WHEN c2.cutpos IS NOT NULL THEN 1 ELSE 0 END AS isc
+  FROM pos p LEFT JOIN cuts c2 ON c2.doc_id = p.doc_id AND c2.cutpos = p.i),
+chk AS (
+  SELECT doc_id, i, c,
+         COALESCE(sum(isc) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+  FROM flag),
+cspan AS (SELECT doc_id, ci, min(i) AS s, count(*) AS len FROM chk GROUP BY 1, 2),
+ch AS (
+  SELECT k.doc_id, k.ci, k.len,
+         CAST(sum(x.c * CAST(pw.p AS HUGEINT)) % {_U64}
+              - 9223372036854775808 AS BIGINT) AS h
+  FROM chk x
+  JOIN cspan k USING (doc_id, ci)
+  JOIN pw ON pw.k = x.i - k.s
+  GROUP BY 1, 2, 3),
+g AS (SELECT h, len, count(*) AS cnt FROM ch GROUP BY 1, 2)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(cnt) - count(*) AS BIGINT) AS dup_chunk_instances,
+       CAST(sum(cnt * len) AS BIGINT) AS chars_total,
+       CAST(sum(len) AS BIGINT) AS chars_dedup
+FROM g
+""".strip()
+
+
 # --- oracles -----------------------------------------------------------------
 
 
@@ -887,6 +1059,8 @@ FROM reach GROUP BY a
     _ORACLES["kg_expand_roundtrip"] = f"""
 SELECT DISTINCT subj, pred, obj FROM ({K.triples_raw_sql()})
 """.strip()
+
+    _ORACLES["dedup_cdc_chunks"] = _cdc_oracle()
 
 
 _late_oracles()
