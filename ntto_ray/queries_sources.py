@@ -171,3 +171,82 @@ def nt_gzip_roundtrip(sf_dir: str):
 
 
 _late_gzip_oracle()
+
+
+@register(
+    "ipc_roundtrip",
+    oracle="""
+SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM documents GROUP BY 1, 2
+""",
+)
+def ipc_roundtrip(sf_dir: str):
+    """documents → Arrow IPC (Feather v2) files under /tmp, one file per
+    block written inside map_batches (parallel, content-addressed names
+    — the resumable-output layout) → ``ray.data.read_binary_files`` +
+    ``pa.ipc.open_file`` decode → grouped aggregate, oracled against the
+    original Parquet. IPC is the zero-copy interchange format a Ray Data
+    engine hands to sibling Arrow systems (DuckDB, polars, Flight); the
+    round-trip pins both directions."""
+    import numpy as np
+    import ray.data
+
+    out = os.path.join(
+        "/tmp",
+        "ntto_ray_ipc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("path", pa.string())]).empty_table()
+        key = hashlib.md5(
+            np.ascontiguousarray(
+                t["doc_id"].to_numpy(zero_copy_only=False)
+            ).tobytes()
+        ).hexdigest()[:16]
+        path = os.path.join(out, f"part-{key}.arrow")
+        with pa.OSFile(path, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
+            w.write_table(t)
+        return pa.table({"path": [path]})
+
+    # consume the write (block-scale rows) before reading back
+    docs.map_batches(write_block, batch_format="pyarrow").materialize()
+
+    back = ray.data.read_binary_files(out)
+
+    def decode_partial(b: dict) -> pa.Table:
+        parts = []
+        for buf in b["bytes"]:
+            parts.append(pa.ipc.open_file(pa.BufferReader(buf)).read_all())
+        t = pa.concat_tables(parts) if parts else None
+        if t is None or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                    ("cnt", pa.int64()),
+                    ("chars_sum", pa.int64()),
+                    ("min_doc", pa.int64()),
+                ]
+            ).empty_table()
+        g = t.group_by(["lang", "source"]).aggregate(
+            [("doc_id", "count"), ("n_chars", "sum"), ("doc_id", "min")]
+        )
+        return g.rename_columns(["lang", "source", "cnt", "chars_sum", "min_doc"])
+
+    partials = back.map_batches(decode_partial, batch_format="numpy")
+    merged = (
+        partials.to_pandas()
+        .groupby(["lang", "source"], as_index=False)
+        .agg(
+            cnt=("cnt", "sum"),
+            chars_sum=("chars_sum", "sum"),
+            min_doc=("min_doc", "min"),
+        )
+    )
+    return merged
