@@ -1012,6 +1012,54 @@ FROM g
 """.strip()
 
 
+# --- Turtle-style grouped-subject render ---------------------------------------
+
+
+@register("kg_turtle_blocks", oracle=None)  # oracle filled by _late_oracles
+def kg_turtle_blocks(sf_dir: str):
+    """Turtle-style grouped-subject serialization of the canonical KG:
+    one text block per subject, predicate-object pairs sorted and joined
+    with ``;`` (W3C Turtle's predicateObjectList) — the prefixed RDF
+    sink the reference's NDJSON/NT outputs (ntto.go:36-50, 132-160)
+    never had, built on the same abbreviated namespaces. Deterministic
+    bytes: pairs sort (pred, obj) ascending inside each block.
+
+    Plan: ONE subj-keyed hash exchange → per-block vectorized render
+    (sorted runs → ListArray over the pair strings → pc.binary_join —
+    no per-subject Python string building)."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+    grouped = hash_grouped(canon, ["subj"], sort=False)
+
+    _OUT = pa.schema([("subj", pa.string()), ("turtle", pa.string())])
+
+    def render(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _OUT.empty_table()
+        d = t.sort_by(
+            [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+        )
+        pair = pc.binary_join_element_wise(d["pred"], d["obj"], " ")
+        if isinstance(pair, pa.ChunkedArray):
+            pair = pair.combine_chunks()
+        subj = d["subj"].to_numpy(zero_copy_only=False)
+        starts, _ends = runs(subj)
+        offsets = np.concatenate([starts, [len(subj)]]).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pair)
+        body = pc.binary_join(la, " ; ")
+        head = d["subj"].take(pa.array(starts, pa.int64()))
+        turtle = pc.binary_join_element_wise(
+            head, body, pa.scalar("."), " "
+        )
+        return pa.table({"subj": head, "turtle": turtle})
+
+    return grouped.map_batches(
+        render, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
 # --- oracles -----------------------------------------------------------------
 
 
@@ -1061,6 +1109,15 @@ SELECT DISTINCT subj, pred, obj FROM ({K.triples_raw_sql()})
 """.strip()
 
     _ORACLES["dedup_cdc_chunks"] = _cdc_oracle()
+
+    canon = K.triples_canonical_sql(pipeline_rules())
+    _ORACLES["kg_turtle_blocks"] = f"""
+WITH canon AS MATERIALIZED ({canon})
+SELECT subj,
+       subj || ' ' || string_agg(pred || ' ' || obj, ' ; ' ORDER BY pred, obj)
+            || ' .' AS turtle
+FROM canon GROUP BY subj
+""".strip()
 
 
 _late_oracles()
