@@ -1060,6 +1060,102 @@ def kg_turtle_blocks(sf_dir: str):
     )
 
 
+# --- VoID dataset-statistics descriptor ----------------------------------------
+
+
+@register("kg_void_stats", oracle=None)  # oracle filled by _late_oracles
+def kg_void_stats(sf_dir: str):
+    """W3C VoID dataset descriptor of the canonical KG: triple count,
+    distinct subjects / predicates / objects, and class count (distinct
+    rdf:type objects) — the one-row statistical summary a published
+    dataset carries (void:triples, void:distinctSubjects, …).
+
+    Plan: one vectorized pass tags each triple's role values →
+    block-local distinct → ONE hash exchange keyed on (role, val) →
+    exact per-role distinct counts as per-block partials → tiny grouped
+    Sum; the triple count rides the same emit pass as a 4th-role
+    per-block counter (no second scan)."""
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    canon = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+
+    _RV = pa.schema([("role", pa.int8()), ("val", pa.string()), ("w", pa.int64())])
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _RV.empty_table()
+        parts = []
+        for role, col in ((0, t["subj"]), (1, t["pred"]), (2, t["obj"])):
+            u = np.unique(col.to_numpy(zero_copy_only=False))
+            parts.append((np.full(len(u), role, np.int8), u))
+        cls = t.filter(pc.equal(t["pred"], "rdf:type"))["obj"]
+        u = np.unique(cls.to_numpy(zero_copy_only=False))
+        parts.append((np.full(len(u), 3, np.int8), u))
+        role = np.concatenate([p[0] for p in parts])
+        val = np.concatenate([p[1] for p in parts])
+        w = np.zeros(len(role), np.int64)
+        out = pa.table(
+            {"role": pa.array(role), "val": pa.array(val), "w": pa.array(w)}
+        )
+        # 5th role: block triple count (no distinct semantics — summed)
+        marker = pa.table(
+            {
+                "role": pa.array([np.int8(4)]),
+                "val": pa.array([""]),
+                "w": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, marker])
+
+    grouped = hash_grouped(
+        canon.map_batches(emit, batch_format="pyarrow"), ["role", "val"],
+        reserve_cpus=False,
+    )
+
+    _P = pa.schema([("role", pa.int8()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "role" not in t.column_names:
+            return _P.empty_table()
+        role = t["role"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        rows, counts = [], []
+        for r in range(4):
+            m = role == r
+            if m.any():
+                rows.append(np.int8(r))
+                counts.append(len(np.unique(val[m])))
+        if (role == 4).any():
+            rows.append(np.int8(4))
+            counts.append(int(w[role == 4].sum()))
+        return pa.table(
+            {"role": pa.array(rows, pa.int8()), "n": pa.array(counts, pa.int64())}
+        )
+
+    folded = (
+        grouped.map_batches(
+            partial, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
+        .groupby("role")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # 5 rows
+    )
+    by = {int(r): int(n) for r, n in zip(folded["role"], folded["n"])}
+    return pa.table(
+        {
+            "n_triples": pa.array([by.get(4, 0)], pa.int64()),
+            "n_subjects": pa.array([by.get(0, 0)], pa.int64()),
+            "n_predicates": pa.array([by.get(1, 0)], pa.int64()),
+            "n_objects": pa.array([by.get(2, 0)], pa.int64()),
+            "n_classes": pa.array([by.get(3, 0)], pa.int64()),
+        }
+    )
+
+
 # --- oracles -----------------------------------------------------------------
 
 
@@ -1111,6 +1207,16 @@ SELECT DISTINCT subj, pred, obj FROM ({K.triples_raw_sql()})
     _ORACLES["dedup_cdc_chunks"] = _cdc_oracle()
 
     canon = K.triples_canonical_sql(pipeline_rules())
+    _ORACLES["kg_void_stats"] = f"""
+WITH canon AS MATERIALIZED ({canon})
+SELECT CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT pred) AS BIGINT) AS n_predicates,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+       CAST(count(DISTINCT CASE WHEN pred = 'rdf:type' THEN obj END) AS BIGINT)
+         AS n_classes
+FROM canon
+""".strip()
     _ORACLES["kg_turtle_blocks"] = f"""
 WITH canon AS MATERIALIZED ({canon})
 SELECT subj,
