@@ -365,24 +365,10 @@ def _km_assign(x_int: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(score, axis=1)
 
 
-@register("ann_kmeans_clusters", oracle=None)  # oracle filled by _late_oracles
-def ann_kmeans_clusters(sf_dir: str):
-    """Deterministic Lloyd k-means over the embedding table — the
-    clustering primitive behind IVF coarse quantizers and corpus
-    topic-bucketing, made hash-exact: vectors are fixed-pointed
-    (floor(v·1e6) int64), distances are exact int64, centroid updates
-    are truncating integer division (DuckDB's `//`), and the seed
-    centroids are the first {_KM_K} vectors by vec_id. Cluster id = the
-    seed's vec_id.
-
-    Plan: per iteration, centroids ({_KM_K}×{_KM_DIM} ints) broadcast in
-    the task closure; each block computes assignments via one int64
-    matmul (|x−c|² = |c|²−2x·c, no (n,k,d) intermediate) and emits
-    (cid, dim, partial_sum, n) rows — the exchange moves
-    k×dim-scale partials, never vectors; the driver folds the
-    result-scale table into the next centroids. Final pass emits
-    (vec_id, cluster). {_KM_ITERS} updates + 1 assignment, each ONE tiny
-    grouped exchange."""
+def _km_fit(sf_dir: str):
+    """Shared Lloyd fit: returns (materialized embeddings Dataset,
+    cluster ids, final centroids) after _KM_ITERS deterministic
+    fixed-point updates. See ann_kmeans_clusters for the plan."""
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -390,12 +376,12 @@ def ann_kmeans_clusters(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()
 
+    import ray as _ray
+
     seed_t = pa.concat_tables(
         [
-            ray.get(ref)
-            for ref in emb.filter(
-                expr=f"vec_id < {_KM_K}"
-            ).to_arrow_refs()
+            _ray.get(ref)
+            for ref in emb.filter(expr=f"vec_id < {_KM_K}").to_arrow_refs()
         ]
     ).sort_by("vec_id")
     cids = seed_t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -427,7 +413,9 @@ def ann_kmeans_clusters(sf_dir: str):
             return pa.table(
                 {
                     "cid": pa.array(np.repeat(_ids[live], d)),
-                    "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), kk)),
+                    "dim": pa.array(
+                        np.tile(np.arange(1, d + 1, dtype=np.int64), kk)
+                    ),
                     "s": pa.array(sums[live].reshape(-1)),
                     "n": pa.array(np.repeat(cnt[live], d)),
                 }
@@ -450,6 +438,29 @@ def ann_kmeans_clusters(sf_dir: str):
             new[ci, di] = q
         cents = new
 
+    return emb, cids, cents
+
+
+@register("ann_kmeans_clusters", oracle=None)  # oracle filled by _late_oracles
+def ann_kmeans_clusters(sf_dir: str):
+    """Deterministic Lloyd k-means over the embedding table — the
+    clustering primitive behind IVF coarse quantizers and corpus
+    topic-bucketing, made hash-exact: vectors are fixed-pointed
+    (floor(v·1e6) int64), distances are exact int64, centroid updates
+    are truncating integer division (DuckDB's `//`), and the seed
+    centroids are the first {_KM_K} vectors by vec_id. Cluster id = the
+    seed's vec_id.
+
+    Plan: per iteration, centroids ({_KM_K}×{_KM_DIM} ints) broadcast in
+    the task closure; each block computes assignments via one int64
+    matmul (|x−c|² = |c|²−2x·c, no (n,k,d) intermediate) and emits
+    (cid, dim, partial_sum, n) rows — the exchange moves
+    k×dim-scale partials, never vectors; the driver folds the
+    result-scale table into the next centroids. Final pass emits
+    (vec_id, cluster). {_KM_ITERS} updates + 1 assignment, each ONE tiny
+    grouped exchange."""
+    emb, cids, cents = _km_fit(sf_dir)
+
     _OUT = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
 
     def assign(t: pa.Table, _c=cents, _ids=cids) -> pa.Table:
@@ -461,7 +472,47 @@ def ann_kmeans_clusters(sf_dir: str):
     return emb.map_batches(assign, batch_format="pyarrow")
 
 
-def _km_oracle() -> str:
+@register("ann_kmeans_inertia", oracle=None)  # oracle filled by _late_oracles
+def ann_kmeans_inertia(sf_dir: str):
+    """Per-cluster k-means evaluation: member count and EXACT int64
+    inertia (sum of squared fixed-point L2 distances to the assigned
+    centroid) after the same deterministic Lloyd fit as
+    ann_kmeans_clusters — the convergence/quality metric an IVF trainer
+    monitors. One extra vectorized pass + a k-scale grouped Sum."""
+    from ray.data.aggregate import Sum
+
+    emb, cids, cents = _km_fit(sf_dir)
+
+    _P = pa.schema([("cluster", pa.int64()), ("n", pa.int64()), ("inertia", pa.int64())])
+
+    def partial(t: pa.Table, _c=cents, _ids=cids) -> pa.Table:
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return _P.empty_table()
+        x = _km_fixed_point(t)
+        a = _km_assign(x, _c)
+        diff = x - _c[a]
+        d2 = np.einsum("nd,nd->n", diff, diff)
+        k = len(_ids)
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        ine = np.zeros(k, np.int64)
+        np.add.at(ine, a, d2)
+        live = cnt > 0
+        return pa.table(
+            {
+                "cluster": pa.array(_ids[live]),
+                "n": pa.array(cnt[live]),
+                "inertia": pa.array(ine[live]),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("inertia", alias_name="inertia"))
+    )
+
+
+def _km_cte() -> str:
     fp = _KM_FP
     cte = [
         f"""vecs AS MATERIALIZED (
@@ -491,18 +542,33 @@ def _km_oracle() -> str:
   SELECT p.cid, p.dim, COALESCE(s.s // s.n, p.x) AS x
   FROM c{it} p LEFT JOIN s{it} s ON s.cid = p.cid AND s.dim = p.dim)""",
         )
-    return (
-        "WITH "
-        + ",\n".join(cte)
-        + f"""
-SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
-  SELECT v.vec_id, c.cid,
-         row_number() OVER (
-           PARTITION BY v.vec_id
-           ORDER BY sum((v.x - c.x) * (v.x - c.x)), c.cid) AS rn
-  FROM vecs v JOIN c{_KM_ITERS} c USING (dim)
-  GROUP BY v.vec_id, c.cid) WHERE rn = 1"""
+    cte.append(
+        f"""fin AS MATERIALIZED (
+  SELECT vec_id, cid, dist FROM (
+    SELECT v.vec_id, c.cid,
+           sum((v.x - c.x) * (v.x - c.x)) AS dist,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY sum((v.x - c.x) * (v.x - c.x)), c.cid) AS rn
+    FROM vecs v JOIN c{_KM_ITERS} c USING (dim)
+    GROUP BY v.vec_id, c.cid) WHERE rn = 1)""",
     )
+    return "WITH " + ",\n".join(cte)
+
+
+def _km_oracle() -> str:
+    return (
+        _km_cte()
+        + "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM fin"
+    )
+
+
+def _km_inertia_oracle() -> str:
+    return _km_cte() + """
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(dist) AS BIGINT) AS inertia
+FROM fin GROUP BY 1"""
 
 
 # --- temporal KG growth curve --------------------------------------------------
@@ -1170,6 +1236,7 @@ def _late_oracles():
 
     _ORACLES["kg_conv_sft_gate"] = _sft_oracle()
     _ORACLES["ann_kmeans_clusters"] = _km_oracle()
+    _ORACLES["ann_kmeans_inertia"] = _km_inertia_oracle()
 
     abbrev = K.triples_abbrev_sql(pipeline_rules())
     _ORACLES["kg_growth_curve"] = f"""
