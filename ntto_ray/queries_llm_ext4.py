@@ -967,8 +967,11 @@ def dedup_cdc_chunks(sf_dir: str):
         doc_len = np.repeat(lens, lens)
         # rolling window hash at flat p: Σ c[p+k]·M^k (uint64 wraps mod 2^64)
         H = np.zeros(total, dtype=np.uint64)
-        for k in range(_CDC_W):
-            H[: total - k] += flat[k:] * pw[k]
+        for k in range(min(_CDC_W, total)):
+            if k:
+                H[:-k] += flat[k:] * pw[k]
+            else:
+                H += flat * pw[0]
         valid = pos <= doc_len - _CDC_W
         cut = valid & (H % np.uint64(_CDC_D) == 0)
         # cut AFTER char p+W-1 → next chunk starts at p+W

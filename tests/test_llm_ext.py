@@ -87,3 +87,57 @@ def test_ntile_remainder_semantics():
             rem + (r - big) // max(size, 1),
         ) + 1
         assert (q == want).all(), (n, q, want)
+
+
+# --- CDC chunking edge regimes --------------------------------------------------
+
+
+def test_cdc_chunks_edge_regimes(ray_session, tmp_path):
+    """Docs shorter than the rolling window (single chunk), empty docs
+    (no chunks), and exact duplicate docs (chunk-level dedup collapses
+    them) — engine vs the same DuckDB oracle on a synthetic table."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ntto_ray.queries_llm_ext4 import dedup_cdc_chunks
+    from ntto_ray.registry import oracle_sql
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(
+                [
+                    "ab",  # shorter than the 8-char window → one chunk
+                    "",  # empty → zero chunks
+                    "the quick brown fox jumps over the lazy dog " * 4,
+                    "the quick brown fox jumps over the lazy dog " * 4,  # dup
+                    "a completely different document body here ok " * 3,
+                    "xyz",  # short again
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "cdc"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    got = dedup_cdc_chunks(str(d)).to_pandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(oracle_sql()["dedup_cdc_chunks"]).df()
+    con.close()
+
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    want = want[sorted(want.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    row = got.iloc[0]
+    # the duplicate doc's chunks dedup away: strictly positive dup mass
+    assert row["dup_chunk_instances"] > 0
+    assert row["chars_total"] == sum(len(t) for t in docs["text"].to_pylist())
+    assert row["chars_dedup"] < row["chars_total"]
