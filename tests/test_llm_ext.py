@@ -141,3 +141,62 @@ def test_cdc_chunks_edge_regimes(ray_session, tmp_path):
     assert row["dup_chunk_instances"] > 0
     assert row["chars_total"] == sum(len(t) for t in docs["text"].to_pylist())
     assert row["chars_dedup"] < row["chars_total"]
+
+
+def test_source_overlap_pair_emission(ray_session, tmp_path):
+    """A dup cluster spanning 3 sources must emit all C(3,2) pairs once;
+    same-source dups emit nothing; engine matches the oracle."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ntto_ray.queries_llm_ext4 import corpus_source_overlap
+    from ntto_ray.registry import oracle_sql
+
+    shared = "X" * 30 + " tail varies per doc "
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(
+                [
+                    shared + "a",
+                    shared + "b",
+                    shared + "c",
+                    "Y" * 30 + " same source twice",
+                    "Y" * 30 + " same source twice again",
+                    "unique document with no dup partner at all",
+                ]
+            ),
+            "source": pa.array(["s1", "s2", "s3", "s1", "s1", "s2"]),
+        }
+    )
+    d = tmp_path / "ovl"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    got = (
+        corpus_source_overlap(str(d))
+        .to_pandas()
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = (
+        con.execute(oracle_sql()["corpus_source_overlap"])
+        .df()
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # exactly the 3 cross-source pairs of the X-cluster, once each
+    assert set(map(tuple, got[["src_a", "src_b"]].values)) == {
+        ("s1", "s2"),
+        ("s1", "s3"),
+        ("s2", "s3"),
+    }
+    assert (got["n_shared"] == 1).all()
