@@ -362,9 +362,8 @@ def corpus_mixture_temperature(sf_dir: str):
     {budget}-doc budget into per-source quotas driver-side (bounded by
     the source vocabulary), quotas broadcast into ONE source-keyed
     exchange that keeps each source's quota smallest-splitmix64(doc_id)
-    docs. Deterministic and bit-mirrored in SQL.""".format(
-        budget=_MIX_BUDGET
-    )
+    docs (budget = _MIX_BUDGET = 120 docs across all sources).
+    Deterministic and bit-mirrored in SQL."""
     import math
 
     from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs

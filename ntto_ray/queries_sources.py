@@ -10,6 +10,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import tempfile
 
 import pyarrow as pa
 
@@ -36,29 +37,39 @@ def csv_roundtrip(sf_dir: str):
     losslessly."""
     import ray.data
 
-    out = os.path.join(
-        "/tmp",
-        "ntto_ray_csv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    shutil.rmtree(out, ignore_errors=True)
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
-    ev.write_csv(out)
+    # per-run tempdir: concurrent invocations (bench + sweep) must not
+    # race each other's part files between write and read-back.
+    out = tempfile.mkdtemp(prefix="ntto_ray_csv_")
+    try:
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+        ev.write_csv(out)
 
-    back = ray.data.read_csv(out)
+        back = ray.data.read_csv(out)
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("event_type").aggregate(
-            [("event_id", "count"), ("user_id", "sum"), ("event_id", "min")]
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("event_type").aggregate(
+                [("event_id", "count"), ("user_id", "sum"), ("event_id", "min")]
+            )
+            # select by canonical agg names, not position: key/agg column
+            # order after group_by().aggregate() has differed across
+            # pyarrow majors (ADVICE r03).
+            return g.select(
+                ["event_type", "event_id_count", "user_id_sum", "event_id_min"]
+            ).rename_columns(["event_type", "cnt", "user_sum", "min_event"])
+
+        partials = back.map_batches(partial, batch_format="pyarrow")
+        merged = (
+            partials.to_pandas()
+            .groupby("event_type", as_index=False)
+            .agg(
+                cnt=("cnt", "sum"),
+                user_sum=("user_sum", "sum"),
+                min_event=("min_event", "min"),
+            )
         )
-        return g.rename_columns(["event_type", "cnt", "user_sum", "min_event"])
-
-    partials = back.map_batches(partial, batch_format="pyarrow")
-    merged = (
-        partials.to_pandas()
-        .groupby("event_type", as_index=False)
-        .agg(cnt=("cnt", "sum"), user_sum=("user_sum", "sum"), min_event=("min_event", "min"))
-    )
-    return merged
+        return merged
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 @register(
@@ -80,35 +91,34 @@ def json_roundtrip(sf_dir: str):
     ntto byte format; this pins the generic one."""
     import ray.data
 
-    out = os.path.join(
-        "/tmp",
-        "ntto_ray_json_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    shutil.rmtree(out, ignore_errors=True)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
-    orders.write_json(out)
+    out = tempfile.mkdtemp(prefix="ntto_ray_json_")
+    try:
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+        orders.write_json(out)
 
-    back = ray.data.read_json(out)
+        back = ray.data.read_json(out)
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("o_orderpriority").aggregate(
-            [("o_orderkey", "count"), ("o_custkey", "sum"), ("o_orderkey", "min")]
-        )
-        return g.rename_columns(
-            ["o_orderpriority", "cnt", "cust_sum", "min_order"]
-        )
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("o_orderpriority").aggregate(
+                [("o_orderkey", "count"), ("o_custkey", "sum"), ("o_orderkey", "min")]
+            )
+            return g.select(
+                ["o_orderpriority", "o_orderkey_count", "o_custkey_sum", "o_orderkey_min"]
+            ).rename_columns(["o_orderpriority", "cnt", "cust_sum", "min_order"])
 
-    partials = back.map_batches(partial, batch_format="pyarrow")
-    merged = (
-        partials.to_pandas()
-        .groupby("o_orderpriority", as_index=False)
-        .agg(
-            cnt=("cnt", "sum"),
-            cust_sum=("cust_sum", "sum"),
-            min_order=("min_order", "min"),
+        partials = back.map_batches(partial, batch_format="pyarrow")
+        merged = (
+            partials.to_pandas()
+            .groupby("o_orderpriority", as_index=False)
+            .agg(
+                cnt=("cnt", "sum"),
+                cust_sum=("cust_sum", "sum"),
+                min_order=("min_order", "min"),
+            )
         )
-    )
-    return merged
+        return merged
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def _late_gzip_oracle():
@@ -139,35 +149,34 @@ def nt_gzip_roundtrip(sf_dir: str):
     from ntto_ray.pipelines.kg import run_kg_pipeline
     from ntto_ray.stages.ntparse import parse_nt_batch, render_nt_batch
 
-    out = os.path.join(
-        "/tmp",
-        "ntto_ray_ntgz_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
+    out = tempfile.mkdtemp(prefix="ntto_ray_ntgz_")
+    try:
+        canonical = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
+        lines = canonical.map_batches(render_nt_batch, batch_format="pyarrow")
 
-    canonical = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
-    lines = canonical.map_batches(render_nt_batch, batch_format="pyarrow")
+        def write_gz(t: pa.Table) -> pa.Table:
+            if t.num_rows:
+                payload = "\n".join(t.column(0).to_pylist()) + "\n"
+                h = hashlib.md5(payload.encode()).hexdigest()[:16]
+                path = os.path.join(out, f"part-{h}.nt.gz")
+                with gzip.open(path, "wt") as f:
+                    f.write(payload)
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
-    def write_gz(t: pa.Table) -> pa.Table:
-        if t.num_rows:
-            payload = "\n".join(t.column(0).to_pylist()) + "\n"
-            h = hashlib.md5(payload.encode()).hexdigest()[:16]
-            path = os.path.join(out, f"part-{h}.nt.gz")
-            with gzip.open(path, "wt") as f:
-                f.write(payload)
-        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+        # consume the write side fully before reading back
+        lines.map_batches(write_gz, batch_format="pyarrow").materialize()
 
-    # consume the write side fully before reading back
-    lines.map_batches(write_gz, batch_format="pyarrow").materialize()
-
-    back = ray.data.read_text(
-        out, arrow_open_stream_args={"compression": "gzip"}
-    )
-    renamed = back.map_batches(
-        lambda t: t.rename_columns(["text"]), batch_format="pyarrow"
-    )
-    return renamed.map_batches(parse_nt_batch, batch_format="pyarrow")
+        back = ray.data.read_text(
+            out, arrow_open_stream_args={"compression": "gzip"}
+        )
+        renamed = back.map_batches(
+            lambda t: t.rename_columns(["text"]), batch_format="pyarrow"
+        )
+        # materialize (round-trip result is query-scale) so the tempdir
+        # can be removed before returning the lazy-no-more dataset.
+        return renamed.map_batches(parse_nt_batch, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 _late_gzip_oracle()
@@ -193,60 +202,63 @@ def ipc_roundtrip(sf_dir: str):
     import numpy as np
     import ray.data
 
-    out = os.path.join(
-        "/tmp",
-        "ntto_ray_ipc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    # per-run tempdir (mkdtemp), not a fixed md5(sf_dir) path: two
+    # concurrent invocations against the same sf_dir (bench + a sweep)
+    # must not race each other's part files between write and read-back.
+    out = tempfile.mkdtemp(prefix="ntto_ray_ipc_")
+    try:
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
 
-    def write_block(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema([("path", pa.string())]).empty_table()
-        key = hashlib.md5(
-            np.ascontiguousarray(
-                t["doc_id"].to_numpy(zero_copy_only=False)
-            ).tobytes()
-        ).hexdigest()[:16]
-        path = os.path.join(out, f"part-{key}.arrow")
-        with pa.OSFile(path, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
-            w.write_table(t)
-        return pa.table({"path": [path]})
+        def write_block(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema([("path", pa.string())]).empty_table()
+            key = hashlib.md5(
+                np.ascontiguousarray(
+                    t["doc_id"].to_numpy(zero_copy_only=False)
+                ).tobytes()
+            ).hexdigest()[:16]
+            path = os.path.join(out, f"part-{key}.arrow")
+            with pa.OSFile(path, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
+                w.write_table(t)
+            return pa.table({"path": [path]})
 
-    # consume the write (block-scale rows) before reading back
-    docs.map_batches(write_block, batch_format="pyarrow").materialize()
+        # consume the write (block-scale rows) before reading back
+        docs.map_batches(write_block, batch_format="pyarrow").materialize()
 
-    back = ray.data.read_binary_files(out)
+        back = ray.data.read_binary_files(out)
 
-    def decode_partial(b: dict) -> pa.Table:
-        parts = []
-        for buf in b["bytes"]:
-            parts.append(pa.ipc.open_file(pa.BufferReader(buf)).read_all())
-        t = pa.concat_tables(parts) if parts else None
-        if t is None or t.num_rows == 0:
-            return pa.schema(
-                [
-                    ("lang", pa.string()),
-                    ("source", pa.string()),
-                    ("cnt", pa.int64()),
-                    ("chars_sum", pa.int64()),
-                    ("min_doc", pa.int64()),
-                ]
-            ).empty_table()
-        g = t.group_by(["lang", "source"]).aggregate(
-            [("doc_id", "count"), ("n_chars", "sum"), ("doc_id", "min")]
+        def decode_partial(b: dict) -> pa.Table:
+            parts = []
+            for buf in b["bytes"]:
+                parts.append(pa.ipc.open_file(pa.BufferReader(buf)).read_all())
+            t = pa.concat_tables(parts) if parts else None
+            if t is None or t.num_rows == 0:
+                return pa.schema(
+                    [
+                        ("lang", pa.string()),
+                        ("source", pa.string()),
+                        ("cnt", pa.int64()),
+                        ("chars_sum", pa.int64()),
+                        ("min_doc", pa.int64()),
+                    ]
+                ).empty_table()
+            g = t.group_by(["lang", "source"]).aggregate(
+                [("doc_id", "count"), ("n_chars", "sum"), ("doc_id", "min")]
+            )
+            return g.select(
+                ["lang", "source", "doc_id_count", "n_chars_sum", "doc_id_min"]
+            ).rename_columns(["lang", "source", "cnt", "chars_sum", "min_doc"])
+
+        partials = back.map_batches(decode_partial, batch_format="numpy")
+        merged = (
+            partials.to_pandas()
+            .groupby(["lang", "source"], as_index=False)
+            .agg(
+                cnt=("cnt", "sum"),
+                chars_sum=("chars_sum", "sum"),
+                min_doc=("min_doc", "min"),
+            )
         )
-        return g.rename_columns(["lang", "source", "cnt", "chars_sum", "min_doc"])
-
-    partials = back.map_batches(decode_partial, batch_format="numpy")
-    merged = (
-        partials.to_pandas()
-        .groupby(["lang", "source"], as_index=False)
-        .agg(
-            cnt=("cnt", "sum"),
-            chars_sum=("chars_sum", "sum"),
-            min_doc=("min_doc", "min"),
-        )
-    )
-    return merged
+        return merged
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
