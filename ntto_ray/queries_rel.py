@@ -10,7 +10,6 @@ cannot be broken by floating-point summation order.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -355,23 +354,65 @@ FROM ordered GROUP BY user_id
 """,
 )
 def rel_user_sessions(sf_dir: str):
-    """Session windows (30 min gap) per user: groupby(user).map_groups
-    over ts-sorted events — the per-key ordered-state pattern."""
+    """Session windows (30 min gap) per user — the per-key ordered-state
+    pattern, fully vectorized (VERDICT r03 #2; the old per-group pandas
+    ``map_groups`` paid one Python call + one 1-row DataFrame per user).
+    Plan: ONE user-keyed hash exchange → per-block sort by
+    (user, ts, event_id) → vectorized session-break mask over
+    consecutive rows → prefix-sum reduceat per contiguous user run.
+    Mirrors the ``rel_lag_delta`` kernel (queries_llm_ext.py)."""
+    import numpy as np
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        num = int(gap.sum()) + 1
-        return pd.DataFrame(
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("num_sessions", pa.int64()),
+            ("num_events", pa.int64()),
+        ]
+    )
+    _GAP_US = 30 * 60 * 1_000_000  # strict > 30 min, like the SQL lag()
+
+    def sess_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _OUT.empty_table()
+        d = t.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        user = d["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(d["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gs, ge = runs(user)
+        n_events = (ge - gs).astype(np.int64)
+        if len(user) > 1:
+            # brk[j] = 1 iff rows j and j+1 are the same user AND the
+            # gap exceeds the session window; per-run break counts fall
+            # out of an exclusive prefix sum over the boundary mask.
+            brk = (
+                (user[1:] == user[:-1]) & (ts_us[1:] - ts_us[:-1] > _GAP_US)
+            ).astype(np.int64)
+            cb = np.concatenate([np.zeros(1, np.int64), np.cumsum(brk)])
+            n_sessions = 1 + (cb[ge - 1] - cb[gs])
+        else:
+            n_sessions = np.ones(len(gs), np.int64)
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "num_sessions": [num],
-                "num_events": [len(g)],
+                "user_id": pa.array(user[gs], pa.int64()),
+                "num_sessions": pa.array(n_sessions, pa.int64()),
+                "num_events": pa.array(n_events),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    grouped = hash_grouped(ds, ["user_id"])
+    return grouped.map_batches(
+        sess_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
 
 
 # --- union ----------------------------------------------------------------
