@@ -40,6 +40,32 @@ FOLD_EDGES = 5_000_000
 MAX_DRIVER_NODES = 50_000_000
 
 
+def _env_regime(
+    fold_edges: int,
+    max_driver_nodes: int,
+    small_edge_threshold: int | None = None,
+):
+    """Bench/debug regime override. ``NTTO_GRAPH_REGIME=vector`` forces
+    past the driver-fold shortcut (fold_edges=0, and the union-find
+    shortcut where present); ``=dataset`` additionally forces the
+    dataset-resident-labels path (max_driver_nodes=0) so a bench row or
+    an oracle run can exercise the 100×-node regime on a test-scale
+    graph. Unset/``auto`` leaves the measured-size thresholds alone;
+    explicit kwargs from tests compose (the override only tightens)."""
+    import os
+
+    r = os.environ.get("NTTO_GRAPH_REGIME", "auto")
+    if r in ("vector", "dataset"):
+        fold_edges = 0
+        if small_edge_threshold is not None:
+            small_edge_threshold = 0
+        if r == "dataset":
+            max_driver_nodes = 0
+    if small_edge_threshold is None:
+        return fold_edges, max_driver_nodes
+    return fold_edges, max_driver_nodes, small_edge_threshold
+
+
 class UnconvergedComponentsError(RuntimeError):
     """Label propagation hit ``max_rounds`` before reaching a fixpoint —
     returning the partial labels would silently split real components."""
@@ -105,6 +131,9 @@ def connected_components(
     min-member labeling."""
     from ray.data.aggregate import Min
 
+    fold_edges, max_driver_nodes, small_edge_threshold = _env_regime(
+        fold_edges, max_driver_nodes, small_edge_threshold
+    )
     edges = pairs.select_columns([a_col, b_col]).materialize()
 
     n_edges = edges.count()
@@ -395,6 +424,7 @@ def khop_distances(
     Rounds stop early when a frontier empties.
 
     Returns (node, dist) for reached nodes only, dist in [0, k]."""
+    fold_edges, max_driver_nodes = _env_regime(fold_edges, max_driver_nodes)
     edges = edges_ds.select_columns([src_col, dst_col]).materialize()
     out_schema = pa.schema([("node", pa.string()), ("dist", pa.int64())])
     n_edges = edges.count()
@@ -636,6 +666,7 @@ def kcore_peel(
 
     from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
 
+    fold_edges, max_driver_nodes = _env_regime(fold_edges, max_driver_nodes)
     edges = edges_ds.select_columns([src_col, dst_col]).materialize()
     n_edges = edges.count()
     if n_edges == 0:
@@ -1042,6 +1073,7 @@ def pagerank_int(
     graphs)."""
     from ray.data.aggregate import Sum
 
+    fold_edges, max_driver_nodes = _env_regime(fold_edges, max_driver_nodes)
     edges = edges_ds.select_columns([src_col, dst_col]).materialize()
     n_edges = edges.count()
     if n_edges == 0:
@@ -1356,6 +1388,7 @@ def lpa_communities(
     arrival since labels are entity-scale, not corpus-scale."""
     from ray.data.aggregate import Sum
 
+    fold_edges, _ = _env_regime(fold_edges, MAX_DRIVER_NODES)
     edges = edges_ds.select_columns([src_col, dst_col]).materialize()
     n_edges = edges.count()
     if n_edges == 0:
