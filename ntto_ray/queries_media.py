@@ -267,3 +267,75 @@ def media_decode_features(sf_dir: str):
     return decode_features(_media(sf_dir), fake=True).map_batches(
         flatten, batch_format="pyarrow"
     )
+
+
+_HEXP = "'0123456789abcdef'"
+_BYTE = (
+    f"(strpos({_HEXP}, substr(dh, 2*(p.p % 32) + 1, 1)) - 1) * 16"
+    f" + (strpos({_HEXP}, substr(dh, 2*(p.p % 32) + 2, 1)) - 1)"
+)
+
+
+@register(
+    "media_decode_real",
+    oracle=f"""
+WITH img AS (
+  -- mirrors synth_media(real_images=True): pixels of image id are
+  -- sha256(id-as-string) tiled to 8×(4+id%4)×3 bytes, PPM-encoded; the
+  -- real DecodeImage parses the PPM back to exactly those bytes, so
+  -- pixel statistics are a pure function of the digest.
+  SELECT event_id AS media_id,
+         sha256(CAST(event_id AS VARCHAR)) AS dh,
+         24 * (4 + event_id % 4) AS n,
+         4 + event_id % 4 AS ih
+  FROM events WHERE event_id % 3 = 0
+),
+b AS (
+  SELECT media_id, n, ih, p.p AS p, {_BYTE} AS byte
+  FROM img CROSS JOIN (SELECT unnest(generate_series(0, 167)) AS p) p
+  WHERE p.p < n
+)
+SELECT media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(any_value(ih) AS INTEGER) AS height,
+       CAST(sum(byte) FILTER (p % 3 = 0) / (n / 3) AS FLOAT) AS f0,
+       CAST(sum(byte) FILTER (p % 3 = 1) / (n / 3) AS FLOAT) AS f1,
+       CAST(sum(byte) FILTER (p % 3 = 2) / (n / 3) AS FLOAT) AS f2,
+       CAST(avg(byte) AS FLOAT) AS f3,
+       CAST(min(byte) AS FLOAT) AS f4,
+       CAST(max(byte) AS FLOAT) AS f5,
+       CAST(CAST(sum(byte*byte) AS DOUBLE) / n - avg(byte)*avg(byte) AS FLOAT) AS f6,
+       CAST(CAST(count(*) FILTER (byte > 127) AS DOUBLE) / n AS FLOAT) AS f7
+FROM b GROUP BY media_id, n
+""",
+)
+def media_decode_real(sf_dir: str):
+    """REAL image decode (no image library): the media table's image
+    payloads are valid binary-PPM files (synth_media real_images=True);
+    DecodeImage's real path parses them with np.frombuffer + reshape and
+    emits exact pixel statistics — mean R/G/B, global mean/min/max,
+    population variance, frac(>127) — computed double→float32, the same
+    chain the DuckDB oracle runs over the mirrored digest bytes. The
+    one formerly-stubbed stage now has a real, oracle-exact kernel;
+    compressed formats (PNG/JPEG) still raise (honest: no PIL/cv2
+    here)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ntto_ray.stages.multimodal import decode_features, synth_media
+
+    def flatten(t: pa.Table) -> pa.Table:
+        feat = t["feature"].combine_chunks()
+        cols = {
+            "media_id": t["media_id"],
+            "width": t["width"],
+            "height": t["height"],
+        }
+        for j in range(8):
+            cols[f"f{j}"] = pc.list_element(feat, j)
+        return pa.table(cols)
+
+    media = synth_media(sf_dir, real_images=True)
+    return decode_features(media, fake=False).map_batches(
+        flatten, batch_format="pyarrow"
+    )

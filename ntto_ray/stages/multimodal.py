@@ -1,12 +1,15 @@
 """Multimodal columns: images/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (no image/audio libs in this
-container): ``DecodeImage`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (shape/bytes
-derived from the payload hash) exercises the full Ray-side plumbing —
-schema, batch sizing, actor signature, output layout — which is real and
-tested.
+Image decode is REAL for uncompressed formats: ``DecodeImage`` (default
+``fake=False``) parses binary PPM (P6) and 24-bit uncompressed BMP with
+pure numpy (``np.frombuffer`` + stride reshape — no PIL/cv2, which this
+container lacks) and emits exact pixel statistics. Compressed formats
+(PNG/JPEG) raise ``NotImplementedError`` — decoding those genuinely
+needs an image library; a deployment with one swaps the parse in the
+same actor-pool slot. ``fake=True`` keeps the deterministic hash-derived
+stub whose output chain is bit-mirrored in the media_decode_features
+DuckDB oracle.
 
 Scale notes baked into the design:
 - binary payloads make blocks heavy → callers should use small
@@ -38,10 +41,18 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synth_media(sf_dir: str, *, per_event: int = 1) -> ray.data.Dataset:
+def synth_media(
+    sf_dir: str, *, per_event: int = 1, real_images: bool = False
+) -> ray.data.Dataset:
     """Deterministic fake media table derived from the events table:
     payload bytes are a hash-expansion of the event id (stable across
-    runs). Stands in for a real binary-column Parquet source."""
+    runs). Stands in for a real binary-column Parquet source.
+
+    ``real_images=True`` replaces image payloads with REAL binary-PPM
+    (P6) files whose pixels are the same sha256 digest tiled to
+    8×(4+id%4)×3 bytes — small, valid images that ``DecodeImage``'s
+    real path decodes, still a pure function of the id so the decoded
+    pixel statistics are exactly SQL-mirrorable."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
 
     def mk(t: pa.Table) -> pa.Table:
@@ -49,11 +60,23 @@ def synth_media(sf_dir: str, *, per_event: int = 1) -> ray.data.Dataset:
         kinds = np.array(["image", "audio", "video"], dtype=object)[ids % 3]
         # sha256 over the DECIMAL-STRING id (not raw bytes) so the whole
         # chain is mirrorable in SQL: repeat(sha256(CAST(id AS VARCHAR)))
-        payloads = [
-            hashlib.sha256(str(int(i)).encode()).digest() * (4 + int(i) % 4)
-            for i in ids
-        ]
-        mimes = np.array(["image/png", "audio/wav", "video/mp4"], dtype=object)[ids % 3]
+        payloads = []
+        for i in ids:
+            digest = hashlib.sha256(str(int(i)).encode()).digest()
+            if real_images and int(i) % 3 == 0:
+                iw, ih = 8, 4 + int(i) % 4
+                n = iw * ih * 3
+                px = np.frombuffer(
+                    (digest * (n // len(digest) + 1))[:n], dtype=np.uint8
+                ).reshape(ih, iw, 3)
+                payloads.append(encode_ppm(px))
+            else:
+                payloads.append(digest * (4 + int(i) % 4))
+        mimes = np.array(
+            ["image/x-portable-pixmap" if real_images else "image/png",
+             "audio/wav", "video/mp4"],
+            dtype=object,
+        )[ids % 3]
         w = (64 + (ids % 8) * 32).astype(np.int32)
         h = (64 + (ids % 5) * 32).astype(np.int32)
         dur = ((ids % 30) * 1000).astype(np.int32)
@@ -73,10 +96,133 @@ def synth_media(sf_dir: str, *, per_event: int = 1) -> ray.data.Dataset:
     return ds.map_batches(mk, batch_format="pyarrow")
 
 
+# --- real (pure-numpy) image codecs ----------------------------------------
+#
+# PPM P6 and 24-bit uncompressed BMP are byte-layout formats decodable
+# with np.frombuffer + a stride reshape — no image library needed. They
+# are the honest "real decode" for this container; compressed formats
+# stay behind NotImplementedError.
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6, maxval 255)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR order, rows padded to 4 bytes)."""
+    import struct
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pixel_data = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM",
+        14 + 40 + len(pixel_data),
+        0,
+        0,
+        14 + 40,  # pixel data offset
+        40,  # BITMAPINFOHEADER size
+        w,
+        h,
+        1,  # planes
+        24,  # bpp
+        0,  # BI_RGB (uncompressed)
+        len(pixel_data),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    return header + pixel_data
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # header = "P6" ws width ws height ws maxval single-ws, then raw RGB;
+    # '#' comments may appear inside the whitespace runs.
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255 (16-bit) not supported")
+    n = w * h * 3
+    return np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    import struct
+
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=offset
+    ).reshape(h, stride)
+    arr = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return arr[::-1] if flip else arr
+
+
+def decode_image_array(payload: bytes) -> np.ndarray:
+    """Pure-numpy decode of PPM (P6) / 24-bit BMP → (h, w, 3) uint8.
+    Raises NotImplementedError for any other format (PNG/JPEG need a
+    real image library, absent in this container)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "unsupported image format (only PPM P6 / 24-bit BMP decode "
+        "without an image library; install PIL/cv2 for compressed formats)"
+    )
+
+
 class DecodeImage:
-    """Actor-pool decode stage. Real decode requires an image library
-    (absent here) — ``fake=True`` substitutes a deterministic
-    hash-derived pixel-statistics extractor with the same interface.
+    """Actor-pool decode stage.
+
+    Real path (``fake=False``): pure-numpy PPM/BMP decode
+    (:func:`decode_image_array`) → exact pixel statistics, 8 float32
+    features per image::
+
+        [mean_r, mean_g, mean_b, mean_all, min, max,
+         population_variance, frac_bytes > 127]
+
+    computed in float64 and cast to float32 — the same double→float
+    chain a DuckDB oracle produces, so the real path is exactly
+    SQL-mirrorable when the pixels are a deterministic function of the
+    id (media_decode_real). Width/height are the DECODED dims.
+    Compressed payloads raise NotImplementedError (no image lib here).
+
+    Fake path (``fake=True``): deterministic hash-derived stub with the
+    same interface, metadata dims passed through.
 
     Output: media_id, width, height, feature (list<float>[8])."""
 
@@ -85,9 +231,40 @@ class DecodeImage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "image decode requires PIL/cv2 (not in this container); "
-                "construct with fake=True for the deterministic stub"
+            feats, ws, hs = [], [], []
+            for payload in t["payload"].to_pylist():
+                arr = decode_image_array(payload)
+                b = arr.reshape(-1).astype(np.float64)
+                n = b.size
+                mean = b.sum() / n
+                var = (b * b).sum() / n - mean * mean
+                feats.append(
+                    np.array(
+                        [
+                            b[0::3].sum() / (n / 3),
+                            b[1::3].sum() / (n / 3),
+                            b[2::3].sum() / (n / 3),
+                            mean,
+                            b.min(),
+                            b.max(),
+                            var,
+                            (b > 127).sum() / n,
+                        ],
+                        dtype=np.float64,
+                    ).astype(np.float32)
+                )
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+            return pa.Table.from_arrays(
+                [
+                    t["media_id"],
+                    pa.array(np.asarray(ws, np.int32)),
+                    pa.array(np.asarray(hs, np.int32)),
+                    pa.array(
+                        [f.tolist() for f in feats], type=pa.list_(pa.float32())
+                    ),
+                ],
+                names=["media_id", "width", "height", "feature"],
             )
         # fake feature = first 8 bytes of sha256 over the payload's HEX
         # string, scaled by /256 (exact in binary float, so the DuckDB

@@ -106,17 +106,83 @@ def test_multimodal_plumbing(ray_session):
     assert set(frames.columns) == {"media_id", "frame_ts_ms", "frame_hash"}
     assert len(frames) > 0
 
+    # compressed/unknown formats still raise — only PPM/BMP decode
+    # without an image library
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)(
             pa.table(
                 {
                     "media_id": [1],
-                    "payload": [b"x"],
+                    "payload": [b"\x89PNG..."],
                     "width": [1],
                     "height": [1],
                 }
             )
         )
+
+
+def test_image_codec_roundtrip():
+    """Pure-numpy PPM/BMP codecs: encode → decode is the identity, incl.
+    BMP row padding (width not a multiple of 4) and PPM comments."""
+    import numpy as np
+
+    from ntto_ray.stages.multimodal import (
+        decode_image_array,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (3, 5), (4, 8), (7, 3)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_image_array(encode_ppm(arr)) == arr).all()
+        assert (decode_image_array(encode_bmp(arr)) == arr).all()
+
+    # PPM with a header comment
+    arr = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    ppm = b"P6\n# a comment\n2 2\n255\n" + arr.tobytes()
+    assert (decode_image_array(ppm) == arr).all()
+
+
+def test_decode_image_real_features(ray_session):
+    """DecodeImage real path over real PPM payloads: features match a
+    direct numpy computation of the pixel statistics."""
+    import numpy as np
+
+    from ntto_ray.stages.multimodal import (
+        DecodeImage,
+        decode_features,
+        synth_media,
+    )
+
+    media = synth_media(SF_SMALL, real_images=True)
+    feats = decode_features(media, fake=False).to_pandas()
+    assert len(feats) > 0
+    assert all(len(f) == 8 for f in feats["feature"])
+    assert set(feats["width"]) == {8}
+    assert set(feats["height"]) <= {4, 5, 6, 7}
+
+    # cross-check one image end to end
+    import hashlib
+
+    row = feats.iloc[0]
+    mid = int(row["media_id"])
+    digest = hashlib.sha256(str(mid).encode()).digest()
+    n = 8 * (4 + mid % 4) * 3
+    b = np.frombuffer((digest * (n // 32 + 1))[:n], np.uint8).astype(np.float64)
+    expect = np.array(
+        [
+            b[0::3].sum() / (n / 3),
+            b[1::3].sum() / (n / 3),
+            b[2::3].sum() / (n / 3),
+            b.sum() / n,
+            b.min(),
+            b.max(),
+            (b * b).sum() / n - (b.sum() / n) ** 2,
+            (b > 127).sum() / n,
+        ]
+    ).astype(np.float32)
+    assert np.array_equal(np.asarray(row["feature"], dtype=np.float32), expect)
 
 
 def test_ann_lsh_subset_of_bruteforce(ray_session):
