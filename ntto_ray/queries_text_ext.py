@@ -952,6 +952,29 @@ def corpus_curate_pipeline(sf_dir: str):
     return _budget_fill(prepped, _BUDGET_TOKENS // max(1, n_sources))
 
 
+@register("corpus_curate_resumable", oracle=_curate_oracle())
+def corpus_curate_resumable(sf_dir: str):
+    """The SAME composed curation pipeline, run through the
+    checkpoint/resume harness (pipelines/curate.py): stage A (dedup drop
+    list + quota) commits to a manifest, stage B (per-source budget
+    fill) runs as source-hash partitions with atomic part commits — a
+    killed run resumes from the last committed unit
+    (tests/test_state_and_sinks.py kills after dedup and mid-fill). The
+    oracle is identical to corpus_curate_pipeline: checkpointing must
+    not change a single row."""
+    import shutil
+    import tempfile
+
+    from ntto_ray.pipelines.curate import curate_checkpointed, read_curated
+
+    out = tempfile.mkdtemp(prefix="ntto_ray_curate_")
+    try:
+        curate_checkpointed(sf_dir, out, num_partitions=4)
+        return read_curated(out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # --- trigram-LM quality score ---------------------------------------------
 
 _LM_TOP_K = 20_000

@@ -121,6 +121,58 @@ def test_multimodal_plumbing(ray_session):
         )
 
 
+def test_curate_kill_and_resume(ray_session, tmp_path):
+    """Composed curation pipeline killed mid-run resumes from the last
+    committed checkpoint and produces EXACTLY the single-shot result:
+    kill #1 right after the dedup stage commits, kill #2 after the first
+    fill partition commits; the resumed run skips both committed units
+    and the final table equals corpus_curate_pipeline's output."""
+    import pandas as pd
+
+    from ntto_ray.pipelines.curate import (
+        SimulatedFailure,
+        curate_checkpointed,
+        read_curated,
+    )
+    from ntto_ray.queries_text_ext import corpus_curate_pipeline
+
+    out = str(tmp_path / "curate")
+
+    # kill #1: after stage A (dedup) commits
+    with pytest.raises(SimulatedFailure):
+        curate_checkpointed(SF_SMALL, out, num_partitions=3, fail_after_dedup=True)
+
+    # kill #2: stage A skipped on resume; fill partition 0 commits, then die
+    with pytest.raises(SimulatedFailure):
+        curate_checkpointed(
+            SF_SMALL, out, num_partitions=3, fail_before_partition=1
+        )
+
+    # resume to completion: everything committed is skipped
+    res = curate_checkpointed(SF_SMALL, out, num_partitions=3)
+    assert res["stage_a_skipped"] is True
+    assert [p.skipped for p in res["partitions"]] == [True, False, False]
+
+    got = (
+        read_curated(out)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        corpus_curate_pipeline(SF_SMALL)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+    # idempotent rerun: all units skip, nothing recomputes
+    res2 = curate_checkpointed(SF_SMALL, out, num_partitions=3)
+    assert res2["stage_a_skipped"] is True
+    assert all(p.skipped for p in res2["partitions"])
+
+
 def test_image_codec_roundtrip():
     """Pure-numpy PPM/BMP codecs: encode → decode is the identity, incl.
     BMP row padding (width not a multiple of 4) and PPM comments."""
