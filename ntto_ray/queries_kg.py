@@ -396,7 +396,7 @@ def kg_predicate_fanout(sf_dir: str):
 
     def edge_counts(t: pa.Table) -> pa.Table:
         g = t.group_by("pred").aggregate([("pred", "count")])
-        return g.rename_columns(["pred", "n"])
+        return g.select(["pred", "pred_count"]).rename_columns(["pred", "n"])
 
     def pair_distinct(col: str):
         _empty = pa.table(
@@ -422,7 +422,7 @@ def kg_predicate_fanout(sf_dir: str):
             # globally distinct
             d = t.group_by(["pred", col]).aggregate([])
             g = d.group_by("pred").aggregate([("pred", "count")])
-            return g.rename_columns(["pred", "n"])
+            return g.select(["pred", "pred_count"]).rename_columns(["pred", "n"])
 
         return inner
 
@@ -525,7 +525,7 @@ def kg_characteristic_sets(sf_dir: str):
             .group_by("cset")
             .aggregate([("cset", "count")])
         )
-        return g.rename_columns(["cset", "n"])
+        return g.select(["cset", "cset_count"]).rename_columns(["cset", "n"])
 
     pairs = canon.map_batches(pair_distinct, batch_format="pyarrow")
     grouped = hash_grouped(pairs, ["subj"])

@@ -68,12 +68,14 @@ def kg_pred_paths(sf_dir: str):
             t.select(["obj", "pred"])
             .group_by(["obj", "pred"])
             .aggregate([([], "count_all")])
+            .select(["obj", "pred", "count_all"])
             .rename_columns(["node", "pred", "cnt"])
         )
         out = (
             t.select(["subj", "pred"])
             .group_by(["subj", "pred"])
             .aggregate([([], "count_all")])
+            .select(["subj", "pred", "count_all"])
             .rename_columns(["node", "pred", "cnt"])
         )
         side = pa.concat_arrays(
@@ -134,7 +136,9 @@ def kg_pred_paths(sf_dir: str):
             }
         )
         g = part.group_by(["pred_a", "pred_b"]).aggregate([("n", "sum")])
-        return g.rename_columns(["pred_a", "pred_b", "n"])
+        return g.select(["pred_a", "pred_b", "n_sum"]).rename_columns(
+            ["pred_a", "pred_b", "n"]
+        )
 
     partials = canon.map_batches(side_partial, batch_format="pyarrow")
     grouped = hash_grouped(partials, ["node"])
@@ -805,7 +809,9 @@ def text_contamination_matrix(sf_dir: str):
             }
         )
         gp = part.group_by(["source_a", "source_b"]).aggregate([("n", "sum")])
-        return gp.rename_columns(["source_a", "source_b", "n"])
+        return gp.select(["source_a", "source_b", "n_sum"]).rename_columns(
+            ["source_a", "source_b", "n"]
+        )
 
     gs = docs.map_batches(GramSources, batch_format="pyarrow", concurrency=(1, 4))
     grouped = hash_grouped(gs, ["g"])
@@ -1122,7 +1128,9 @@ def rel_part_region_revenue(sf_dir: str):
             .group_by(["l_partkey", "l_suppkey"])
             .aggregate([("rev_c4", "sum")])
         )
-        return g.rename_columns(["l_partkey", "l_suppkey", "rev_c4"])
+        return g.select(["l_partkey", "l_suppkey", "rev_c4_sum"]).rename_columns(
+            ["l_partkey", "l_suppkey", "rev_c4"]
+        )
 
     part = (
         _read(sf_dir, "part", ["p_partkey", "p_brand"])
@@ -1155,7 +1163,9 @@ def rel_part_region_revenue(sf_dir: str):
         if t.num_rows == 0:
             return j1_schema.empty_table()
         g = t.group_by(["l_suppkey", "p_brand"]).aggregate([("rev_c4", "sum")])
-        return g.rename_columns(["l_suppkey", "p_brand", "rev_c4"])
+        return g.select(["l_suppkey", "p_brand", "rev_c4_sum"]).rename_columns(
+            ["l_suppkey", "p_brand", "rev_c4"]
+        )
 
     j1 = j1.map_batches(brand_partial, batch_format="pyarrow").materialize()
 
@@ -1210,7 +1220,9 @@ def rel_part_region_revenue(sf_dir: str):
         .groupby(["region", "p_brand"])
         .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
         .map_batches(
-            lambda t: t.rename_columns(["region", "brand", "revenue_c4"]),
+            lambda t: t.select(
+                ["region", "p_brand", "revenue_c4"]
+            ).rename_columns(["region", "brand", "revenue_c4"]),
             batch_format="pyarrow",
         )
     )
@@ -1757,7 +1769,7 @@ def rel_month_over_month(sf_dir: str):
             .group_by("ym")
             .aggregate([("rev", "sum")])
         )
-        return g.rename_columns(["ym", "rev"])
+        return g.select(["ym", "rev_sum"]).rename_columns(["ym", "rev"])
 
     series = (
         orders.map_batches(month_partial, batch_format="pyarrow")
@@ -2331,7 +2343,7 @@ def rel_cumulative_users(sf_dir: str):
             .group_by("user_id")
             .aggregate([("day", "min")])
         )
-        return g.rename_columns(["user_id", "day"])
+        return g.select(["user_id", "day_min"]).rename_columns(["user_id", "day"])
 
     first = (
         ev.map_batches(first_partial, batch_format="pyarrow")

@@ -280,6 +280,9 @@ def kg_symmetric_predicates(sf_dir: str):
         g = tbl.group_by(["pred", "lo", "hi"]).aggregate(
             [("has_f", "max"), ("has_b", "max"), ("has_s", "max")]
         )
+        g = g.select(
+            ["pred", "lo", "hi", "has_f_max", "has_b_max", "has_s_max"]
+        )
         return g.rename_columns(
             ["pred", "lo", "hi", "has_f", "has_b", "has_s"]
         )
@@ -306,7 +309,9 @@ def kg_symmetric_predicates(sf_dir: str):
         out = tbl.group_by("pred").aggregate(
             [("n_pairs", "sum"), ("n_recip", "sum"), ("n_self", "sum")]
         )
-        return out.rename_columns(["pred", "n_pairs", "n_recip", "n_self"])
+        return out.select(
+            ["pred", "n_pairs_sum", "n_recip_sum", "n_self_sum"]
+        ).rename_columns(["pred", "n_pairs", "n_recip", "n_self"])
 
     partials = canon.map_batches(pair_partial, batch_format="pyarrow")
     grouped = hash_grouped(partials, ["pred", "lo", "hi"])

@@ -618,7 +618,9 @@ def kg_growth_curve(sf_dir: str):
             .group_by(["subj", "pred", "obj"])
             .aggregate([("sec", "min")])
         )
-        return g.rename_columns(["subj", "pred", "obj", "sec"])
+        return g.select(["subj", "pred", "obj", "sec_min"]).rename_columns(
+            ["subj", "pred", "obj", "sec"]
+        )
 
     grouped = hash_grouped(
         abbrev.map_batches(partial, batch_format="pyarrow"),
@@ -770,7 +772,9 @@ def rel_q7_trade_flow(sf_dir: str):
             .group_by(["l_orderkey", "s_nat"])
             .aggregate([("rev", "sum")])
         )
-        return g.rename_columns(["l_orderkey", "s_nat", "rev"])
+        return g.select(["l_orderkey", "s_nat", "rev_sum"]).rename_columns(
+            ["l_orderkey", "s_nat", "rev"]
+        )
 
     j1 = j1.map_batches(combine, batch_format="pyarrow").materialize()
 
@@ -830,7 +834,9 @@ def rel_q7_trade_flow(sf_dir: str):
             }
         )
         g = part.group_by(["supp_nation", "cust_nation"]).aggregate([("rev", "sum")])
-        return g.rename_columns(["supp_nation", "cust_nation", "rev"])
+        return g.select(["supp_nation", "cust_nation", "rev_sum"]).rename_columns(
+            ["supp_nation", "cust_nation", "rev"]
+        )
 
     return (
         j3.map_batches(names, batch_format="pyarrow")

@@ -276,7 +276,9 @@ def rel_group_quantiles(sf_dir: str):
             {"l_returnflag": t["l_returnflag"], "v": _cents(t["l_extendedprice"])}
         )
         g = t2.group_by(["l_returnflag", "v"]).aggregate([([], "count_all")])
-        return g.rename_columns(["l_returnflag", "v", "cnt"])
+        return g.select(["l_returnflag", "v", "count_all"]).rename_columns(
+            ["l_returnflag", "v", "cnt"]
+        )
 
     out_schema = pa.schema(
         [
@@ -441,7 +443,9 @@ def rel_outer_join(sf_dir: str):
     def urgent_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
         g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
-        return g.rename_columns(["o_custkey", "urgent_cnt"])
+        return g.select(["o_custkey", "o_custkey_count"]).rename_columns(
+            ["o_custkey", "urgent_cnt"]
+        )
 
     urgent = (
         _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
@@ -724,7 +728,9 @@ def rel_grouped_mode(sf_dir: str):
             t.group_by(["o_orderstatus", "o_orderpriority"])
             .aggregate([([], "count_all")])
         )
-        return g.rename_columns(["o_orderstatus", "o_orderpriority", "cnt"])
+        return g.select(
+            ["o_orderstatus", "o_orderpriority", "count_all"]
+        ).rename_columns(["o_orderstatus", "o_orderpriority", "cnt"])
 
     cnts = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -814,7 +820,9 @@ def rel_event_transitions(sf_dir: str):
             .group_by(["from_type", "to_type"])
             .aggregate([([], "count_all")])
         )
-        return g.rename_columns(["from_type", "to_type", "cnt"])
+        return g.select(["from_type", "to_type", "count_all"]).rename_columns(
+            ["from_type", "to_type", "cnt"]
+        )
 
     grouped = hash_grouped(
         ds.map_batches(prep, batch_format="pyarrow"), ["user_id"]

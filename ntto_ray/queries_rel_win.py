@@ -154,7 +154,9 @@ def rel_multiway_join(sf_dir: str):
             .group_by("l_orderkey")
             .aggregate([("rev_c4", "sum")])
         )
-        return g.rename_columns(["l_orderkey", "rev_c4"])
+        return g.select(["l_orderkey", "rev_c4_sum"]).rename_columns(
+            ["l_orderkey", "rev_c4"]
+        )
 
     nat = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]

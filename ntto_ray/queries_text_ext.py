@@ -120,7 +120,9 @@ def text_tfidf_top_terms(sf_dir: str):
             .group_by(["doc_id", "tok"])
             .aggregate([([], "count_all")])
         )
-        return g.rename_columns(["doc_id", "tok", "tf"])
+        return g.select(["doc_id", "tok", "count_all"]).rename_columns(
+            ["doc_id", "tok", "tf"]
+        )
 
     by_tok = hash_grouped(
         docs.map_batches(tf_rows, batch_format="pyarrow"), ["tok"], sort=True
@@ -245,7 +247,7 @@ def text_bigram_counts(sf_dir: str):
             " ",
         )
         g = pa.table({"bigram": big}).group_by("bigram").aggregate([([], "count_all")])
-        return g.rename_columns(["bigram", "cnt"])
+        return g.select(["bigram", "count_all"]).rename_columns(["bigram", "cnt"])
 
     return (
         docs.map_batches(bigram_counts, batch_format="pyarrow")
@@ -1052,7 +1054,7 @@ def text_lm_score(sf_dir: str):
         if tri is None:
             return _C.empty_table()
         g = pa.table({"tri": tri}).group_by("tri").aggregate([([], "count_all")])
-        return g.rename_columns(["tri", "c"])
+        return g.select(["tri", "count_all"]).rename_columns(["tri", "c"])
 
     counts = (
         docs.map_batches(tri_counts, batch_format="pyarrow")

@@ -136,6 +136,7 @@ def _load():
     from ntto_ray import queries_llm_ext2  # noqa: F401
     from ntto_ray import queries_llm_ext3  # noqa: F401
     from ntto_ray import queries_llm_ext4  # noqa: F401
+    from ntto_ray import queries_llm_ext5  # noqa: F401
 
     ordered = [n for n in _R04_WINDOW if n in _QUERIES]
     ordered += [n for n in _QUERIES if n not in set(_R04_WINDOW)]

@@ -33,7 +33,7 @@ def local_dedup_batch(batch: pa.Table) -> pa.Table:
     subj, pred, obj, cnt — cnt is the within-batch multiplicity."""
     cols = [c for c in TRIPLE_KEY if c in batch.column_names]
     out = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
-    return out.rename_columns(cols + ["cnt"])
+    return out.select(cols + ["count_all"]).rename_columns(cols + ["cnt"])
 
 
 # Packed-key exchange: the global shuffle groups on ONE packed string key
@@ -50,7 +50,7 @@ def _pack_dedup_batch(batch: pa.Table) -> pa.Table:
         batch["subj"], batch["pred"], batch["obj"], _SEP
     )
     out = pa.table({"k": k}).group_by("k").aggregate([([], "count_all")])
-    return out.rename_columns(["k", "cnt"])
+    return out.select(["k", "count_all"]).rename_columns(["k", "cnt"])
 
 
 def _unpack_batch(batch: pa.Table, *, keep_bucket: bool = False) -> pa.Table:
@@ -114,7 +114,7 @@ def _block_dedup_mark(batch: pa.Table) -> pa.Table:
             }
         )
     g = batch.group_by(["k", "bucket"]).aggregate([("cnt", "sum")])
-    g = g.rename_columns(["k", "bucket", "cnt"])
+    g = g.select(["k", "bucket", "cnt_sum"]).rename_columns(["k", "bucket", "cnt"])
     bmin = batch["bucket"][0].as_py()
     bmax = batch["bucket"][batch.num_rows - 1].as_py()
     boundary = pc.or_(pc.equal(g["bucket"], bmin), pc.equal(g["bucket"], bmax))
@@ -173,7 +173,7 @@ def _block_dedup(t: pa.Table) -> pa.Table:
         .group_by(["k", "subj_bucket"])
         .aggregate([("cnt", "sum")])
     )
-    return g.rename_columns(["k", "subj_bucket", "cnt"]).select(
+    return g.select(["k", "cnt_sum", "subj_bucket"]).rename_columns(
         ["k", "cnt", "subj_bucket"]
     )
 
@@ -286,7 +286,9 @@ def _degrees_block(t: pa.Table) -> pa.Table:
         .group_by("subj")
         .aggregate([("cnt", "count"), ("cnt", "sum")])
     )
-    return g.rename_columns(["subj", "degree", "weight"])
+    return g.select(["subj", "cnt_count", "cnt_sum"]).rename_columns(
+        ["subj", "degree", "weight"]
+    )
 
 
 def degree_by_subject(
