@@ -498,13 +498,16 @@ def kg_shacl_report(sf_dir: str):
 
     The W3C SHACL cardinality/closed-shape checks, re-expressed as
     distributed aggregates (the reference has no validation surface at
-    all). Plan: the three per-subject cardinality shapes are predicate-
-    filtered grouped counts over the cached canonical KG (per-block
-    partials → one grouped Sum each); the referential check is ONE
-    tag-union hash exchange on the (conv, entity) pair key — support
-    pairs are derived from turn IRIs by fixed-width slice, never a join
-    back to transcripts. Per-constraint partial rows union into a tiny
-    4-row grouped Sum."""
+    all). Plan: ONE pass over the cached canonical KG emits tagged
+    partials for all four constraints at once — per-block (subj, fam,
+    count) rows for the three cardinality shapes (one C++ group_by per
+    predicate family) and (conv␟entity, fam) pair rows for the
+    referential check (support pairs derived from turn IRIs by
+    fixed-width slice, never a join back to transcripts) — then ONE
+    key-hashed exchange makes every constraint's evidence block-local
+    and a vectorized kernel scores all four; the final grouped Sum is
+    4-row. (Was four separate all-to-alls + a union: 101 s → ~12 s at
+    sf0.001, same oracle.)"""
     from ray.data.aggregate import Sum
 
     from ntto_ray.pipelines.kg import run_kg_pipeline
@@ -512,112 +515,117 @@ def kg_shacl_report(sf_dir: str):
 
     canon = run_kg_pipeline(sf_dir).select_columns(["subj", "pred", "obj"])
 
-    _CNT = pa.schema([("subj", pa.string()), ("n", pa.int64())])
-
-    def _pred_counts(pred: str):
-        def part(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "pred" not in t.column_names:
-                return _CNT.empty_table()
-            d = t.filter(pc.equal(t["pred"], pred))
-            g = d.group_by("subj").aggregate([("pred", "count")])
-            return pa.table(
-                {"subj": g["subj"], "n": pc.cast(g["pred_count"], pa.int64())}
-            )
-
-        return (
-            canon.map_batches(part, batch_format="pyarrow")
-            .groupby("subj")
-            .aggregate(Sum("n", alias_name="n"))
-        )
-
-    def _shape_summary(rule: str, violated):
-        def summ(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "n" not in t.column_names:
-                return _SHACL_SCHEMA.empty_table()
-            n = t["n"].to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "rule": pa.array([rule]),
-                    "n_checked": pa.array([np.int64(len(n))]),
-                    "n_violations": pa.array([np.int64(violated(n).sum())]),
-                }
-            )
-
-        return summ
-
-    c1 = _pred_counts(_P_HAS_TURN).map_batches(
-        _shape_summary("conv_turn_count", lambda n: n != 6),
-        batch_format="pyarrow",
+    # fam tags: 0/1/2 = the per-subject cardinality shapes (hasTurn,
+    # rdf:type, discusses); 3/4 = referential pair sides (discusses /
+    # supporting mention). Pair keys contain '\x1f', subject IRIs do
+    # not, so the two key spaces cannot collide in the shared exchange.
+    _T = pa.schema(
+        [("key", pa.string()), ("fam", pa.int8()), ("n", pa.int64())]
     )
-    c2 = _pred_counts(_RDF_TYPE).map_batches(
-        _shape_summary("turn_single_type", lambda n: n != 1),
-        batch_format="pyarrow",
-    )
-    c4 = _pred_counts(_P_DISCUSS).map_batches(
-        _shape_summary("conv_min_entities", lambda n: n < _MIN_ENTITIES),
-        batch_format="pyarrow",
-    )
+    _CARD = ((0, _P_HAS_TURN), (1, _RDF_TYPE), (2, _P_DISCUSS))
 
-    # referential check: discusses (conv, e) must have a same-conv mention
-    _TAG = pa.schema([("key", pa.string()), ("side", pa.int8())])
+    def _arr(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
-    def tag_ref(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "pred" not in t.column_names:
-            return _TAG.empty_table()
+            return _T.empty_table()
+        parts = []
+        for fam, pred in _CARD:
+            d = t.filter(pc.equal(t["pred"], pred))
+            if d.num_rows == 0:
+                continue
+            g = d.group_by("subj").aggregate([("pred", "count")])
+            g = g.select(["subj", "pred_count"])
+            parts.append(
+                pa.table(
+                    {
+                        "key": _arr(g["subj"]),
+                        "fam": pa.array(np.full(g.num_rows, fam, np.int8)),
+                        "n": pc.cast(g["pred_count"], pa.int64()),
+                    }
+                )
+            )
         disc = t.filter(pc.equal(t["pred"], _P_DISCUSS))
         sup = t.filter(
             pc.is_in(t["pred"], value_set=pa.array([_P_MENTIONS, _P_MENT_ENT]))
         )
         # turn IRI 'exconv:conv-%08d/turn/k' → conv IRI = first 20 chars
         sup_conv = pc.utf8_slice_codeunits(sup["subj"].combine_chunks(), 0, 20)
-        key0 = pc.binary_join_element_wise(disc["subj"], disc["obj"], "\x1f")
-        key1 = pc.binary_join_element_wise(
-            sup_conv, sup["obj"].combine_chunks(), "\x1f"
-        )
-        def _arr(a):
-            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        for fam, keys in (
+            (3, pc.binary_join_element_wise(disc["subj"], disc["obj"], "\x1f")),
+            (4, pc.binary_join_element_wise(sup_conv, _arr(sup["obj"]), "\x1f")),
+        ):
+            keys = _arr(keys)
+            if len(keys):
+                parts.append(
+                    pa.table(
+                        {
+                            "key": keys,
+                            "fam": pa.array(np.full(len(keys), fam, np.int8)),
+                            "n": pa.array(np.zeros(len(keys), np.int64)),
+                        }
+                    )
+                )
+        if not parts:
+            return _T.empty_table()
+        return pa.concat_tables(parts)
 
-        return pa.table(
-            {
-                "key": pa.concat_arrays([_arr(key0), _arr(key1)]),
-                "side": pa.array(
-                    np.r_[
-                        np.zeros(disc.num_rows, np.int8),
-                        np.ones(sup.num_rows, np.int8),
-                    ]
-                ),
-            }
-        )
-
-    def ref_summary(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _SHACL_SCHEMA.empty_table()
-        d = t.sort_by([("key", "ascending"), ("side", "ascending")])
-        key = d["key"].to_numpy(zero_copy_only=False)
-        side = d["side"].to_numpy(zero_copy_only=False)
-        starts, ends = runs(key)
-        has_disc = side[starts] == 0  # sorted: discusses rows sort first
-        has_sup = side[ends - 1] == 1
-        checked = int(has_disc.sum())
-        viol = int((has_disc & ~has_sup).sum())
-        return pa.table(
-            {
-                "rule": pa.array(["discusses_supported"]),
-                "n_checked": pa.array([np.int64(checked)]),
-                "n_violations": pa.array([np.int64(viol)]),
-            }
-        )
-
-    c3 = hash_grouped(
-        canon.map_batches(tag_ref, batch_format="pyarrow"),
-        ["key"],
-        reserve_cpus=False,
-    ).map_batches(
-        ref_summary, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    _RULES = (
+        (0, "conv_turn_count", lambda x: x != 6),
+        (1, "turn_single_type", lambda x: x != 1),
+        (2, "conv_min_entities", lambda x: x < _MIN_ENTITIES),
     )
 
+    def summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _SHACL_SCHEMA.empty_table()
+        d = t.sort_by([("key", "ascending"), ("fam", "ascending")])
+        key = d["key"].to_numpy(zero_copy_only=False)
+        fam = d["fam"].to_numpy(zero_copy_only=False)
+        n = d["n"].to_numpy(zero_copy_only=False)
+        rules, checked, viols = [], [], []
+        card = fam <= 2
+        if card.any():
+            ck, cf, cn = key[card], fam[card], n[card]
+            newr = np.r_[True, (ck[1:] != ck[:-1]) | (cf[1:] != cf[:-1])]
+            starts = np.flatnonzero(newr)
+            tot = np.add.reduceat(cn, starts)
+            rfam = cf[starts]
+            for f, rule, violated in _RULES:
+                m = rfam == f
+                if m.any():
+                    rules.append(rule)
+                    checked.append(np.int64(m.sum()))
+                    viols.append(np.int64(violated(tot[m]).sum()))
+        ref = ~card
+        if ref.any():
+            rk, rf = key[ref], fam[ref]
+            starts, ends = runs(rk)
+            has_disc = rf[starts] == 3  # sorted: fam 3 before 4 per key
+            has_sup = rf[ends - 1] == 4
+            rules.append("discusses_supported")
+            checked.append(np.int64(has_disc.sum()))
+            viols.append(np.int64((has_disc & ~has_sup).sum()))
+        if not rules:
+            return _SHACL_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "rule": pa.array(rules, pa.string()),
+                "n_checked": pa.array(checked, pa.int64()),
+                "n_violations": pa.array(viols, pa.int64()),
+            }
+        )
+
+    grouped = hash_grouped(
+        canon.map_batches(partial, batch_format="pyarrow"),
+        ["key"],
+        reserve_cpus=False,
+    )
     return (
-        c1.union(c2, c3, c4)
+        grouped.map_batches(
+            summary, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+        )
         .groupby("rule")
         .aggregate(
             Sum("n_checked", alias_name="n_checked"),

@@ -147,3 +147,23 @@ def test_lpa_two_paths_identical_and_reference(ray_session):
         )
     )
     assert _sorted_df(fold).equals(_sorted_df(want))
+
+
+def test_env_regime_override_matches_auto(ray_session, monkeypatch):
+    """NTTO_GRAPH_REGIME=dataset must force the dataset-resident-labels
+    plan (the bench/sweep knob) and produce the identical result the
+    auto-chosen plan gives on the same input."""
+    ds = _string_edge_ds(7)
+    auto = pagerank_int(ds, iterations=3)
+    monkeypatch.setenv("NTTO_GRAPH_REGIME", "dataset")
+    forced = pagerank_int(ds, iterations=3)
+    assert _sorted_df(auto).equals(_sorted_df(forced))
+
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_a": [1, 2, 5, 9], "doc_b": [2, 3, 6, 9]})
+    ).repartition(2)
+    monkeypatch.delenv("NTTO_GRAPH_REGIME")
+    auto_cc = connected_components(pairs)
+    monkeypatch.setenv("NTTO_GRAPH_REGIME", "dataset")
+    forced_cc = connected_components(pairs)
+    assert _sorted_df(auto_cc).equals(_sorted_df(forced_cc))
