@@ -279,3 +279,142 @@ def corpus_reservoir_sample(sf_dir: str):
     return grouped.map_batches(
         final_topk, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
     )
+
+
+# --- IVF + PQ composed ANN ----------------------------------------------------
+
+_IVFPQ = dict(nlist=16, nprobe=4, m=4, ksub=16, pq_iters=6, km_iters=10,
+              train=4096, dim=64, k=10)
+
+
+def _ivfpq_oracle_sql() -> str:
+    """Exact SQL mirror of the composed IVF+PQ query: the shared coarse
+    k-means + full-corpus assignment CTEs (queries_text._km_eassign_ctes
+    — ends in en/eassign/cent{it}), plus per-subspace L2 sub-quantizer
+    chains (the ann_pq_topk mirror, renamed p* to share the WITH), with
+    candidate generation restricted to each query's nprobe probed cells
+    and ranking by the left-associated ADC sum."""
+    from ntto_ray.queries_text import _ANN_QUERY_IDS, _km_eassign_ctes
+
+    p = _IVFPQ
+    dsub = p["dim"] // p["m"]
+    parts = [
+        _km_eassign_ctes(
+            nlist=p["nlist"], iters=p["km_iters"], train=p["train"], dim=p["dim"]
+        )
+    ]
+    for s in range(p["m"]):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"""
+psub{s} AS MATERIALIZED (SELECT vec_id, (v)[{lo}:{hi}] AS sv FROM sn),
+pc{s}_0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(sv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+  FROM psub{s} ORDER BY vec_id LIMIT {p["ksub"]}
+)""")
+        for it in range(1, p["pq_iters"] + 1):
+            parts.append(f"""
+pa{s}_{it} AS MATERIALIZED (
+  SELECT vec_id, sv, c FROM (
+    SELECT psub{s}.vec_id, psub{s}.sv, pp.c,
+           row_number() OVER (
+             PARTITION BY psub{s}.vec_id
+             ORDER BY list_distance(psub{s}.sv, pp.cv) ASC, pp.c ASC
+           ) AS rn
+    FROM psub{s} CROSS JOIN pc{s}_{it - 1} pp
+  ) WHERE rn = 1
+),
+pm{s}_{it} AS MATERIALIZED (
+  SELECT c, list(avg_x ORDER BY j) AS mv FROM (
+    SELECT a.c, j.j, avg(a.sv[j.j]) AS avg_x
+    FROM pa{s}_{it} a CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS j) j
+    GROUP BY a.c, j.j
+  ) GROUP BY c
+),
+pc{s}_{it} AS MATERIALIZED (
+  SELECT pp.c,
+         COALESCE(
+           (SELECT list_transform(mm.mv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))
+            FROM pm{s}_{it} mm WHERE mm.c = pp.c),
+           pp.cv) AS cv
+  FROM pc{s}_{it - 1} pp
+)""")
+        parts.append(f"""
+pcode{s} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT en.vec_id, pp.c,
+           row_number() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY list_distance((en.v)[{lo}:{hi}], pp.cv) ASC, pp.c ASC
+           ) AS rn
+    FROM en CROSS JOIN pc{s}_{p["pq_iters"]} pp
+  ) WHERE rn = 1
+),
+plut{s} AS MATERIALIZED (
+  SELECT q.qid, pp.c, list_dot_product((q.qv)[{lo}:{hi}], pp.cv) AS d
+  FROM (SELECT vec_id AS qid, v AS qv FROM en
+        WHERE vec_id IN {_ANN_QUERY_IDS}) q
+  CROSS JOIN pc{s}_{p["pq_iters"]} pp
+)""")
+    est = " + ".join(f"plut{s}.d" for s in range(p["m"]))
+    code_joins = "\n".join(
+        f"  JOIN pcode{s} ON pcode{s}.vec_id = ea.vec_id\n"
+        f"  JOIN plut{s} ON plut{s}.qid = q.qid AND plut{s}.c = pcode{s}.c"
+        for s in range(p["m"])
+    )
+    body = ",".join(parts)
+    return f"""
+WITH {body},
+q AS (SELECT vec_id AS qid, v AS qv FROM en WHERE vec_id IN {_ANN_QUERY_IDS}),
+probes AS (
+  SELECT qid, c FROM (
+    SELECT q.qid, f.c,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, f.cv) DESC, f.c ASC
+           ) AS rn
+    FROM q CROSS JOIN cent{p["km_iters"]} f
+  ) WHERE rn <= {p["nprobe"]}
+),
+scored AS (
+  SELECT qid, vec_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY est DESC, vec_id ASC
+         ) AS rank
+  FROM (
+    SELECT q.qid, ea.vec_id, {est} AS est
+    FROM q JOIN probes pr ON pr.qid = q.qid
+         JOIN eassign ea ON ea.c = pr.c
+{code_joins}
+    WHERE ea.vec_id != q.qid
+  )
+)
+SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank FROM scored WHERE rank <= {p["k"]}
+"""
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle_sql())
+def ann_ivfpq_topk(sf_dir: str):
+    """IVF + PQ composed ANN — the billion-scale layout (coarse inverted
+    lists bound WHICH vectors a query touches, product-quantization
+    codes bound the BYTES per touched vector; together ~nprobe/nlist ×
+    m/(4·dim) of the raw corpus bytes per query). See
+    stages/ann.ivf_pq_topk for the distribution plan; the oracle mirrors
+    the full composed chain (coarse k-means, cell assignment, 4 L2
+    sub-quantizers, codes, LUTs, probed-cell ADC ranking) exactly."""
+    from ntto_ray.queries_text import _emb, _query_matrix
+    from ntto_ray.stages.ann import ivf_pq_topk
+
+    ids, qm = _query_matrix(sf_dir)
+    return ivf_pq_topk(
+        _emb(sf_dir),
+        ids,
+        qm,
+        k=_IVFPQ["k"],
+        nlist=_IVFPQ["nlist"],
+        nprobe=_IVFPQ["nprobe"],
+        m=_IVFPQ["m"],
+        ksub=_IVFPQ["ksub"],
+        pq_iters=_IVFPQ["pq_iters"],
+        train_sample=_IVFPQ["train"],
+    )
