@@ -500,3 +500,33 @@ def test_scene_cuts_matches_scalar_bruteforce():
             got["sig_delta"].astype(int))
     )
     assert got_rows == want and len(want) > 0
+
+
+def test_ivf_pq_recall_vs_bruteforce(ray_session):
+    """Composed IVF+PQ: valid contiguous ranks per query, and recall@10
+    vs exact brute force stays above a sanity floor on the small-sf
+    corpus (PQ quantization + nprobe cell pruning lose some neighbors
+    by design — the floor pins 'approximate', not 'broken')."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ntto_ray.stages.ann import brute_force_topk, ivf_pq_topk
+
+    emb = ray.data.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()[:3]
+    m = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()[:3]]).astype(
+        np.float64
+    )
+
+    bf = brute_force_topk(emb, ids, m, k=10).to_pandas()
+    ipq = ivf_pq_topk(emb, ids, m, k=10).to_pandas()
+    assert set(ipq.columns) == {"qid", "vec_id", "rank"}
+    recalls = []
+    for qid, g in ipq.groupby("qid"):
+        assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
+        got = set(g["vec_id"])
+        want = set(bf.loc[bf["qid"] == qid, "vec_id"])
+        recalls.append(len(got & want) / max(1, len(want)))
+    assert sum(recalls) / len(recalls) >= 0.3
