@@ -162,6 +162,14 @@ def run_bench() -> dict:
         "kg_negative_sampling",
         "kg_entity_merge_map",
         "kg_conv_sft_gate",
+        # round-4 additions
+        "ann_ivfpq_topk",
+        "text_inverted_index",
+        "corpus_reservoir_sample",
+        "media_decode_real",
+        "corpus_curate_resumable",
+        "kg_shacl_report",
+        "rel_user_sessions",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)
@@ -208,13 +216,24 @@ def run_bench() -> dict:
 
 
 def run_dedup_bench() -> dict:
-    """Child mode for the dedup scaling pair (VERDICT r03 #3): time
-    dedup_jaccard_pairs — the other wide-step family (token-keyed
-    exchange + heavy Gram-verify kernel) — over $GRAFT_SF_DIR at
-    $RAY_GRAFT_CPUS. No corpus replication: replicating documents makes
-    every replica an exact dup and blows the pair count up
-    quadratically, so the measured input is sf0.1 as-is."""
+    """Child mode for the dedup scaling pair (VERDICT r03 #3): time the
+    exact prefix-filtered Jaccard join — the other wide-step family
+    (token-keyed exchange + heavy Gram-verify kernel) — over
+    $GRAFT_SF_DIR at $RAY_GRAFT_CPUS.
+
+    Input amplification: sf0.1's 5000 docs finish in ~10 s at TWO cpus
+    (fixed exchange overhead dominates — nothing left to parallelize),
+    so the child replicates the corpus $BENCH_DEDUP_REPLICATE (default
+    6) times with every token NAMESPACED per replica (token → token~r).
+    Replicas share zero tokens, so no cross-replica candidates or pairs
+    exist — the pair set is exactly R identical copies of the
+    original's (unlike naive replication, whose exact-dup replicas blow
+    pairs up quadratically) — while exchange volume and verify compute
+    scale ~R×. doc_id offsets keep replica ids disjoint."""
     os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     import ray
 
     ray.init(
@@ -229,28 +248,49 @@ def run_dedup_bench() -> dict:
     DataContext.get_current().enable_progress_bars = False
     _warm_cache()
 
-    from ntto_ray import registry
+    import ray.data
 
-    q = registry.queries()
+    from ntto_ray.stages.dedup import jaccard_pairs
+
+    rep = int(os.environ.get("BENCH_DEDUP_REPLICATE", "6"))
+
+    def amp(t: pa.Table) -> pa.Table:
+        parts = []
+        for r in range(rep):
+            txt = pc.replace_substring(t["text"], " ", f"~{r} ")
+            txt = pc.binary_join_element_wise(txt, pa.scalar(""), f"~{r}")
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pc.add(t["doc_id"], r * 10_000_000),
+                        "text": txt,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
     runs = []
     n_pairs = 0
     for _ in range(int(os.environ.get("BENCH_ROUNDS", "1"))):
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(amp, batch_format="pyarrow")
         t0 = time.time()
-        res = q["dedup_jaccard_pairs"](SF_DIR)
-        n_pairs = res.count() if hasattr(res, "count") else len(res)
+        n_pairs = jaccard_pairs(docs, threshold_pct=90).count()
         runs.append(time.time() - t0)
     sec = min(runs)
 
     import pyarrow.parquet as pq
 
-    n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    n_docs = rep * pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
     result = {
-        "metric": "dedup_jaccard_pairs seconds",
+        "metric": "dedup jaccard_pairs seconds (token-namespaced replicate)",
         "value": round(sec, 3),
         "unit": "sec",
         "docs": int(n_docs),
         "pairs": int(n_pairs),
         "docs_per_sec": round(n_docs / sec, 1),
+        "replicate": rep,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }
