@@ -37,8 +37,18 @@ def test_query_matches_oracle(name, ray_session, duck):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(name, ray_session):
-    got = _to_pandas(QUERIES[name](SF_SMALL))
-    assert got is not None
-    assert len(got.columns) > 0
+def test_every_query_has_an_exact_oracle():
+    """No rows-only queries exist: every registered query carries an
+    exact DuckDB oracle (the stronger correctness contract). If this
+    ever fails, add a parametrized rows-only smoke test for the new
+    oracle-less queries — don't drop the assertion."""
+    assert ROWS_ONLY == []
+
+
+if ROWS_ONLY:  # guarded: an empty parametrize would report a skip forever
+
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only_queries_run(name, ray_session):
+        got = _to_pandas(QUERIES[name](SF_SMALL))
+        assert got is not None
+        assert len(got.columns) > 0
