@@ -187,13 +187,16 @@ def curate_checkpointed(
 
     # ---- stage B: per-source budget fill, partitioned -------------------
     dropped_ref = ray.put(dropped)
-    # the fill's inputs are (corpus, drop list, quota): fold all three
-    # into the partition fingerprint so a changed stage-A result re-runs
-    # stage B instead of silently skipping
+    # the fill's inputs are (corpus, drop list, quota, partitioning):
+    # fold ALL of them into the partition fingerprint so a changed
+    # stage-A result — or a resume with a different num_partitions,
+    # which changes every partition's source subset — re-runs stage B
+    # instead of silently skipping committed parts that no longer hold
+    # the rows their pid implies.
     import hashlib
 
     fill_fp = hashlib.blake2b(
-        f"{fingerprint}|{quota}|".encode() + dropped.tobytes(),
+        f"{fingerprint}|{quota}|{num_partitions}|".encode() + dropped.tobytes(),
         digest_size=16,
     ).hexdigest()
 
@@ -228,10 +231,18 @@ def read_curated(out_dir: str) -> pa.Table:
     """Read the committed curated mixture back as one Arrow table
     (result-scale — the mixture is bounded by the token budget)."""
     import glob
+    import re
 
     import pyarrow.parquet as pq
 
-    files = sorted(glob.glob(os.path.join(out_dir, "fill", "part=*", "*.parquet")))
+    # exactly committed parts: 'part=<digits>' — NOT 'part=<pid>.tmp'
+    # dirs a killed write_parquet left behind (those have no manifest
+    # line and may hold partial files)
+    files = sorted(
+        f
+        for f in glob.glob(os.path.join(out_dir, "fill", "part=*", "*.parquet"))
+        if re.fullmatch(r"part=\d+", os.path.basename(os.path.dirname(f)))
+    )
     if not files:
         return pa.schema(
             [

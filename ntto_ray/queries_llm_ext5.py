@@ -416,5 +416,6 @@ def ann_ivfpq_topk(sf_dir: str):
         m=_IVFPQ["m"],
         ksub=_IVFPQ["ksub"],
         pq_iters=_IVFPQ["pq_iters"],
+        km_iters=_IVFPQ["km_iters"],
         train_sample=_IVFPQ["train"],
     )

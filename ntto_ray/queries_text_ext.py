@@ -879,78 +879,26 @@ def corpus_curate_pipeline(sf_dir: str):
     corpus itself is never materialized between stages, just re-scanned
     (the same stateless-re-scan trade corpus_clean_pipeline documents).
     One md5-keyed exchange for the dedup decision, one source-keyed
-    exchange for the fill; text never enters either."""
+    exchange for the fill; text never enters either.
+
+    The drop-list and surviving-source-count kernels are SHARED with
+    the checkpointed variant (pipelines/curate.py) — one copy, so the
+    two registered queries cannot silently diverge from their common
+    oracle."""
     import ray
-    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
-    from ntto_ray.stages.exchange import runs as _runs
+
+    from ntto_ray.pipelines.curate import (
+        _surviving_source_count,
+        dropped_duplicate_ids,
+    )
 
     ds = _docs(sf_dir, ["doc_id", "source", "text"])
-
-    _H = pa.schema(
-        [("h1", pa.int64()), ("h2", pa.int64()), ("doc_id", pa.int64())]
-    )
-
-    def hashes(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _H.empty_table()
-        from ntto_ray.stages.dedup import poly_content_hashes
-
-        h1, h2 = poly_content_hashes(t["text"])
-        return pa.table(
-            {"h1": pa.array(h1), "h2": pa.array(h2), "doc_id": t["doc_id"]}
-        )
-
-    _D = pa.schema([("doc_id", pa.int64())])
-
-    def non_min(t: pa.Table) -> pa.Table:
-        """Block holds whole content-hash groups (hash-partitioned):
-        every id except each group's min is a drop."""
-        if t.num_rows == 0 or "h1" not in t.column_names:
-            return _D.empty_table()
-        h1 = t["h1"].to_numpy()
-        h2 = t["h2"].to_numpy()
-        ids = t["doc_id"].to_numpy()
-        order = np.lexsort((ids, h2, h1))
-        h1, h2, ids = h1[order], h2[order], ids[order]
-        new_run = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
-        keep = ~new_run  # min id per (h1, h2) group survives
-        return pa.table({"doc_id": ids[keep]})
-
-    grouped = hash_grouped(
-        ds.map_batches(hashes, batch_format="pyarrow"), ["h1", "h2"], sort=False
-    )
-    dropped_ds = grouped.map_batches(
-        non_min, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
-    )
-    # a dup-free corpus yields an EMPTY drop dataset, whose unique()
-    # comes back None — guard rather than iterate it
-    uniq_ids = dropped_ds.unique("doc_id") or []
-    dropped = np.sort(np.asarray(list(uniq_ids), dtype=np.int64))
-    ref = ray.put(dropped)
+    ref = ray.put(dropped_duplicate_ids(sf_dir))
 
     prepped = ds.map_batches(
         _budget_prep, batch_format="pyarrow", fn_kwargs={"dropped_ref": ref}
     )
-
-    # n_sources = distinct sources among SURVIVING docs — a cheap
-    # (doc_id, source)-only projection + broadcast drop-filter, NOT a
-    # second full tokenize pass over every text. An all-dup corpus can
-    # leave unique() returning None: guard with `or []`.
-    def _surv_sources(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.select(["source"])
-        drop = ray.get(ref)
-        if len(drop):
-            keep = ~np.isin(t["doc_id"].to_numpy(), drop)
-            t = t.filter(pa.array(keep))
-        return t.select(["source"])
-
-    n_sources = len(
-        _docs(sf_dir, ["doc_id", "source"])
-        .map_batches(_surv_sources, batch_format="pyarrow")
-        .unique("source")
-        or []
-    )
+    n_sources = _surviving_source_count(sf_dir, ref)
     return _budget_fill(prepped, _BUDGET_TOKENS // max(1, n_sources))
 
 

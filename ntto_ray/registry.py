@@ -138,7 +138,13 @@ def _load():
     from ntto_ray import queries_llm_ext4  # noqa: F401
     from ntto_ray import queries_llm_ext5  # noqa: F401
 
-    ordered = [n for n in _R04_WINDOW if n in _QUERIES]
+    # the window IS the driver-verification contract: a typo'd or
+    # later-renamed entry must fail loudly, not silently shrink the
+    # 50-row window and promote an unintended tail query
+    missing = [n for n in _R04_WINDOW if n not in _QUERIES]
+    if missing:
+        raise RuntimeError(f"_R04_WINDOW entries not registered: {missing}")
+    ordered = list(_R04_WINDOW)
     ordered += [n for n in _QUERIES if n not in set(_R04_WINDOW)]
     _QUERIES = {n: _QUERIES[n] for n in ordered}
     _ORACLES = {n: _ORACLES[n] for n in ordered if n in _ORACLES}

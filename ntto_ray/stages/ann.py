@@ -616,6 +616,7 @@ def ivf_pq_topk(
     m: int = 4,
     ksub: int = 16,
     pq_iters: int = 6,
+    km_iters: int = 10,
     train_sample: int = 4096,
 ) -> ray.data.Dataset:
     """IVF + PQ composed — the standard billion-scale vector-search
@@ -648,7 +649,7 @@ def ivf_pq_topk(
     sm = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
     dim = sm.shape[1]
     dsub = dim // m
-    coarse = _kmeans(sm, nlist)
+    coarse = _kmeans(sm, nlist, iters=km_iters)
     cents = [
         _kmeans_l2(sm[:, s * dsub : (s + 1) * dsub], ksub, iters=pq_iters)
         for s in range(m)
