@@ -322,7 +322,16 @@ def run_scaling() -> dict:
         "BENCH_KG_ONLY": "1",
         "BENCH_REPLICATE": os.environ.get("SCALING_REPLICATE", "64"),
     }
-    _DEDUP_ENV = {"BENCH_DEDUP_ONLY": "1"}
+    # Heavier amplification than the bench row's default 6: the emit-once
+    # ownership verify (stages/dedup.py block_verify) removed the pair-key
+    # exchange and made the whole join ~5× faster, so at replicate=6 the
+    # 2-CPU leg finishes in ~7 s and fixed startup dominates the pair —
+    # nothing left to parallelize. 48 replicas ≈ 45 s / 13 s legs
+    # (measured 2→8 efficiency 0.83 in a load~1.3 window).
+    _DEDUP_ENV = {
+        "BENCH_DEDUP_ONLY": "1",
+        "BENCH_DEDUP_REPLICATE": os.environ.get("SCALING_DEDUP_REPLICATE", "48"),
+    }
 
     def run(ncpu: int, extra_env: dict) -> dict:
         env = dict(

@@ -406,11 +406,25 @@ def jaccard_pairs(
         ``out=`` — O(g²) triu index arrays are never materialized, and
         the incidence matrix switches to a vocab-chunked g×g
         accumulation when the group vocabulary dwarfs the group, so
-        peak memory is min(2gu, g²+8192g). Reuse sidesteps first-touch
+        peak memory is min(4gu, 2g²+8192g). Reuse sidesteps first-touch
         page-fault cost on freshly allocated temporaries (measured 70×
         on a 3.8k-doc group: 75 s → 1.0 s). float32 is exact for all
         counts here (≤ 2²⁴); groups with > 2-million-token docs get
-        float64 buffers."""
+        float64 buffers.
+
+        EMIT-ONCE ownership (replaces the pair-key dedupe exchange): a
+        qualifying pair shares one or more prefix tokens and would be
+        surfaced by every one of their groups; instead of shipping ~3×
+        duplicate candidate rows into a packed-key all-to-all (measured
+        36-44 s of remote wall at sf0.1×6 — the single most expensive
+        phase of the join), the pair is emitted ONLY by the group of its
+        minimum shared prefix token. Ownership is a second Gram over the
+        incidence restricted to each doc's prefix tokens strictly below
+        this group's token τ: a zero entry ⇔ no shared prefix token < τ
+        ⇔ τ IS the min ⇔ this group owns the pair. Output pairs are
+        globally unique by construction — the downstream exchange, pack
+        and run-dedupe stages disappear entirely (and with them the
+        doc_id < 2³¹ packing assumption)."""
         if t.num_rows == 0 or "tok" not in t.column_names:
             return _PAIR_SCHEMA.empty_table()
         tok = t["tok"].to_numpy()
@@ -434,6 +448,18 @@ def jaccard_pairs(
             )
             _, inv = np.unique(flat, return_inverse=True)
             rows = np.repeat(np.arange(g, dtype=np.int64), sz)
+            # ownership mask: token occurrences inside each doc's PREFIX
+            # (same length formula as emit_prefix — blobs are sorted
+            # ascending in unsigned order, prefix = first p entries) that
+            # are strictly below this group's token in that same order
+            ceil_tn = -((-(sz * threshold_pct)) // 100)
+            p = np.clip(sz - ceil_tn + 1, 1, sz)
+            doc_starts = np.r_[0, np.cumsum(sz)[:-1]]
+            pos_within = np.arange(len(flat), dtype=np.int64) - np.repeat(
+                doc_starts, sz
+            )
+            tau = _U(int(tok[s]) % (1 << 64))
+            ltm = (pos_within < np.repeat(p, sz)) & (flat < tau)
             # product bound hundthr * max_count must stay exact in the
             # accumulator dtype (float32 holds ints to 2^24)
             dt = np.float32 if sz.max() * hundthr < 2**24 else np.float64
@@ -443,17 +469,21 @@ def jaccard_pairs(
             # two memory shapes for the Gram: a dense g×u incidence
             # matrix (small vocabularies — the common corpus case), or,
             # when the group vocabulary dwarfs the group (2u > g+8192),
-            # a vocab-chunked accumulation into one g×g buffer so peak
-            # memory is min(2gu, g² + g·8192) — never both unbounded
+            # a vocab-chunked accumulation into g×g buffers so peak
+            # memory is min(4gu, 2g² + g·8192) — never both unbounded
             dense = 2 * u <= g + 8192
             if dense:
                 B = np.zeros((g, u), dtype=dt)
                 B[rows, inv] = 1.0
                 BT = np.ascontiguousarray(B.T)
+                BL = np.zeros((g, u), dtype=dt)
+                BL[rows[ltm], inv[ltm]] = 1.0
+                BLT = np.ascontiguousarray(BL.T)
                 ia = np.empty((c0, g), dtype=dt)
+                il = np.empty((c0, g), dtype=dt)
             else:
-                ia_full = np.empty((g, g), dtype=dt)
-                ia_full.fill(0)
+                ia_full = np.zeros((g, g), dtype=dt)
+                il_full = np.zeros((g, g), dtype=dt)
                 tmp = np.empty((g, g), dtype=dt)
                 vchunk = 8192
                 Bc = np.zeros((g, min(vchunk, u)), dtype=dt)
@@ -465,6 +495,11 @@ def jaccard_pairs(
                     Bc[rows[m], inv[m] - lo] = 1.0
                     np.dot(Bc[:, :w], Bc[:, :w].T, out=tmp)
                     ia_full += tmp
+                    ml = m & ltm
+                    Bc[:, :w].fill(0)
+                    Bc[rows[ml], inv[ml] - lo] = 1.0
+                    np.dot(Bc[:, :w], Bc[:, :w].T, out=tmp)
+                    il_full += tmp
             lim = np.empty((c0, g), dtype=dt)
             keep = np.empty((c0, g), dtype=bool)
             tri = np.empty((c0, g), dtype=bool)
@@ -475,8 +510,11 @@ def jaccard_pairs(
                 if dense:
                     np.dot(B[r0:r1], BT, out=ia[:c])
                     src = ia[:c]
+                    np.dot(BL[r0:r1], BLT, out=il[:c])
+                    src_lt = il[:c]
                 else:
                     src = ia_full[r0:r1]
+                    src_lt = il_full[r0:r1]
                 # ia*(100+t) >= t*(sa+sb)  ⇔  ia*100 >= t*(sa+sb-ia)
                 np.add(szf[r0:r1, None], szf[None, :], out=lim[:c])
                 np.multiply(lim[:c], dt(thr), out=lim[:c])
@@ -487,6 +525,8 @@ def jaccard_pairs(
                     out=tri[:c],
                 )
                 np.logical_and(keep[:c], tri[:c], out=keep[:c])
+                # emit-once: only the min-shared-prefix-token group owns
+                np.logical_and(keep[:c], src_lt == 0, out=keep[:c])
                 rr, cc = np.nonzero(keep[:c])
                 if len(rr) == 0:
                     continue
@@ -500,11 +540,6 @@ def jaccard_pairs(
         a = np.concatenate(out_a).astype(np.int64)
         b = np.concatenate(out_b).astype(np.int64)
         j = np.concatenate(out_j).astype(np.int64)
-        # in-block pre-dedupe: a pair sharing several prefix tokens of
-        # THIS block would otherwise ship ~3x duplicate rows into the
-        # pair-key exchange (every copy carries the same score)
-        _, first = np.unique((a << np.int64(31)) | b, return_index=True)
-        a, b, j = a[first], b[first], j[first]
         return pa.Table.from_arrays(
             [
                 pa.array(a),
@@ -517,11 +552,11 @@ def jaccard_pairs(
     grouped = _hash_grouped(
         docs.map_batches(emit_prefix, batch_format="pyarrow"), ["tok"]
     )
-    pairs = grouped.map_batches(
+    # pairs are globally unique (emit-once ownership above): no
+    # pair-key dedupe exchange follows — this map is the LAST operator
+    return grouped.map_batches(
         block_verify, batch_size=None, batch_format="pyarrow", **_NO_FUSE
     )
-    # a qualifying pair may share several prefix tokens — collapse dups
-    return _dedupe_pairs(pairs, _PAIR_SCHEMA)
 
 
 # --- MinHash + LSH --------------------------------------------------------
