@@ -201,60 +201,12 @@ from ntto_ray.stages.exchange import runs as _runs  # noqa: E402
 from ntto_ray.stages.exchange import NO_FUSE_ARGS as _NO_FUSE  # noqa: E402
 
 
-def _dedupe_pairs(pairs: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
-    """Collapse duplicate (doc_a, doc_b) rows (a pair can be surfaced by
-    several tokens / bands; every copy carries the same score) via a
-    packed-int64-key hash exchange + per-block run dedupe — no generic
-    aggregate on the hot path. Assumes doc ids < 2^31. The exchange
-    ships TWO int64 columns (packed pair key + score), not the 3-column
-    pair row plus key — candidate volume is a multiple of the result at
-    high duplication, so row width is the shuffle's bytes knob."""
-    val_col = schema.names[2]
-    _SLIM = pa.schema([("pk", pa.int64()), ("v", pa.int64())])
-
-    def pack(t: pa.Table) -> pa.Table:
-        t = _conform(t, schema)
-        pk = (t["doc_a"].to_numpy().astype(np.int64) << np.int64(31)) | t[
-            "doc_b"
-        ].to_numpy().astype(np.int64)
-        return pa.table({"pk": pa.array(pk, type=pa.int64()), "v": t[val_col]})
-
-    # Finite batch_size matters: a keyed exchange passes EMPTY blocks
-    # through downstream map stages without invoking the UDF, and Ray's
-    # hash-shuffle broadcasts the schema of the FIRST block it sees — a
-    # zero-column empty reaching the next exchange first makes empty
-    # partitions finalize schema-less and crash sort_by(pk). A finite
-    # batch_size makes the batcher absorb empties before the exchange.
-    keyed = _hash_grouped(
-        pairs.map_batches(pack, batch_size=65536, batch_format="pyarrow"),
-        ["pk"],
-    )
-
-    def drop_dup(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "pk" not in t.column_names:
-            return schema.empty_table()
-        pk = t["pk"].to_numpy()
-        keep = np.r_[True, pk[1:] != pk[:-1]]
-        pk = pk[keep]
-        v = t["v"].to_numpy()[keep]
-        return _conform(
-            pa.table(
-                {
-                    "doc_a": pa.array(pk >> np.int64(31)),
-                    "doc_b": pa.array(pk & np.int64((1 << 31) - 1)),
-                    val_col: pa.array(v),
-                }
-            ),
-            schema,
-        )
-
-    deduped = keyed.map_batches(drop_dup, batch_size=None, batch_format="pyarrow")
-    return deduped.map_batches(
-        lambda t: _conform(t, schema), batch_size=65536, batch_format="pyarrow"
-    )
-
-
 # --- token-set Jaccard near-dup: exact prefix-filtered similarity join ----
+# (The pair-dedupe exchange that used to live here is gone: every pair
+# family now emits each qualifying pair exactly once via an in-group
+# ownership rule — min shared prefix token for the Jaccard join, min
+# shared band-key value for MinHash-LSH, first matching band for
+# SimHash — so candidate de-duplication costs zero exchanges.)
 
 _PAIR_SCHEMA = pa.schema(
     [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_pct", pa.int64())]
@@ -774,7 +726,19 @@ def minhash_lsh_pairs(
         """Whole-block verify over complete (bkey) bucket runs: per
         bucket, estimated Jaccard = matching-minhash fraction computed
         by ONE (pairs × num_perm) equality reduction over the stacked
-        signature matrix."""
+        signature matrix.
+
+        EMIT-ONCE ownership (same move as the Jaccard join's
+        block_verify): a qualifying pair collides in one bucket per
+        shared band key VALUE; instead of collapsing the duplicates
+        with a pair-key exchange, only the bucket holding the pair's
+        MINIMUM shared band-key value emits it. Each doc's full 16 band
+        keys are recomputed in-group from the signature blob it already
+        carries (the same splitmix64 chain as _band_rows), so ownership
+        is a masked min over the value intersection — value-based, NOT
+        band-index-based, because the SQL mirror (and the exchange)
+        join on the key value across bands. Pairs are globally unique
+        by construction; the downstream exchange disappears."""
         if t.num_rows == 0 or "bkey" not in t.column_names:
             return _LSH_PAIR_SCHEMA.empty_table()
         bkey = t["bkey"].to_numpy()
@@ -802,9 +766,26 @@ def minhash_lsh_pairs(
             keep = matches >= threshold * mat.shape[1]
             if not keep.any():
                 continue
-            out_a.append(ids[a[keep]])
-            out_b.append(ids[b[keep]])
-            out_e.append(matches[keep] * 100 // mat.shape[1])
+            ak, bk_ = a[keep], b[keep]
+            # all band keys per doc, from the signatures in hand
+            K = np.empty((g, bands), dtype=np.int64)
+            for b2 in range(bands):
+                chunk = mat[:, b2 * rows : (b2 + 1) * rows]
+                acc = _mix64(chunk[:, 0] + _U(2 * b2 + 1))
+                for j in range(1, rows):
+                    acc = _mix64(acc * _SHINGLE_PRIME ^ chunk[:, j])
+                K[:, b2] = (acc >> _U(1)).astype(np.int64)
+            Ka, Kb = K[ak], K[bk_]
+            shared = (Ka[:, :, None] == Kb[:, None, :]).any(axis=2)
+            # current bucket's key is always in the intersection, so the
+            # masked min never degenerates to the sentinel
+            minshared = np.where(shared, Ka, np.iinfo(np.int64).max).min(axis=1)
+            own = minshared == int(bkey[s])
+            if not own.any():
+                continue
+            out_a.append(ids[ak[own]])
+            out_b.append(ids[bk_[own]])
+            out_e.append(matches[keep][own] * 100 // mat.shape[1])
         if not out_a:
             return _LSH_PAIR_SCHEMA.empty_table()
         return pa.Table.from_arrays(
@@ -817,10 +798,10 @@ def minhash_lsh_pairs(
         )
 
     grouped = _hash_grouped(banded, ["bkey"])
-    pairs = grouped.map_batches(
+    # pairs are globally unique (min-shared-key ownership): no dedupe
+    return grouped.map_batches(
         bucket_verify, batch_size=None, batch_format="pyarrow", **_NO_FUSE
     )
-    return _dedupe_pairs(pairs, _LSH_PAIR_SCHEMA)
 
 # --- SimHash --------------------------------------------------------------
 
@@ -961,9 +942,25 @@ def simhash_pairs(
             h = _hamming64(f[a], f[b])
             keep = h <= max_hamming
             if keep.any():
-                out_a.append(ids[a[keep]])
-                out_b.append(ids[b[keep]])
-                out_h.append(h[keep])
+                ak, bk_ = a[keep], b[keep]
+                # EMIT-ONCE ownership: a pair within Hamming budget has
+                # ≥1 identical slice and is surfaced once per such band;
+                # only the FIRST matching band emits (distinct
+                # (band, slice) buckets never alias — band id is packed
+                # into the key), so pairs are globally unique and the
+                # pair-dedupe exchange disappears. Only bands BEFORE this
+                # bucket's band need checking: all-earlier-slices-differ
+                # ⇔ this band is the first match.
+                cur_band = int(bkey[s]) & ((1 << int(band_shift)) - 1)
+                z = np.bitwise_xor(f[ak], f[bk_])
+                own = np.ones(len(ak), dtype=bool)
+                for b2 in range(cur_band):
+                    own &= ((z >> _U(b2 * width)) & mask) != 0
+                if not own.any():
+                    continue
+                out_a.append(ids[ak[own]])
+                out_b.append(ids[bk_[own]])
+                out_h.append(h[keep][own])
         if not out_a:
             return _SIMHASH_PAIR_SCHEMA.empty_table()
         return pa.Table.from_arrays(
@@ -977,7 +974,7 @@ def simhash_pairs(
 
     banded = fps.map_batches(emit_bands, batch_format="pyarrow")
     grouped = _hash_grouped(banded, ["bkey"])
-    pairs = grouped.map_batches(
+    # pairs are globally unique (first-matching-band ownership)
+    return grouped.map_batches(
         bucket_verify, batch_size=None, batch_format="pyarrow", **_NO_FUSE
     )
-    return _dedupe_pairs(pairs, _SIMHASH_PAIR_SCHEMA)
