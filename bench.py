@@ -170,6 +170,10 @@ def run_bench() -> dict:
         "corpus_curate_resumable",
         "kg_shacl_report",
         "rel_user_sessions",
+        # round-4 second pass
+        "text_dsir_importance",
+        "rel_merge_upsert",
+        "orc_roundtrip",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)

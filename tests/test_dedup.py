@@ -360,3 +360,40 @@ def test_poly_content_hashes_scalar_and_slices():
     sl = arr.slice(1, 3)
     s1, s2 = poly_content_hashes(sl)
     assert list(s1) == list(h1[1:4]) and list(s2) == list(h2[1:4])
+
+
+def test_emit_once_no_duplicate_pairs_identical_corpus(ray_session):
+    """The max-duplication adversary for emit-once ownership: N identical
+    docs share EVERY prefix token (Jaccard), every band key (MinHash) and
+    every band slice (SimHash), so each pair is a candidate in the
+    maximum possible number of groups. With the dedupe exchange deleted,
+    global uniqueness now rests entirely on the in-group ownership rules
+    — assert every family emits each of the C(N,2) pairs exactly once."""
+    import ray.data
+
+    from ntto_ray.stages.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    n = 12
+    text = " ".join(f"tok{i:03d}" for i in range(40))
+    rows = [{"doc_id": i, "text": text} for i in range(n)]
+    # a few distinct singletons that must pair with nothing
+    rows += [
+        {"doc_id": 100 + i, "text": f"zzz{i} " + " ".join(f"q{i}_{j}" for j in range(40))}
+        for i in range(3)
+    ]
+    ds = ray.data.from_items(rows)
+    want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+
+    for fn, kwargs in (
+        (jaccard_pairs, {"threshold_pct": 90}),
+        (minhash_lsh_pairs, {"threshold": 0.9}),
+        (simhash_pairs, {"max_hamming": 3, "bands": 4}),
+    ):
+        got = fn(ds, **kwargs).to_pandas()
+        pairs = list(zip(got["doc_a"], got["doc_b"]))
+        assert len(pairs) == len(set(pairs)), f"{fn.__name__} emitted duplicates"
+        assert set(pairs) == want, f"{fn.__name__} pair set wrong"
