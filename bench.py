@@ -183,12 +183,14 @@ def run_bench() -> dict:
         timings[name] = time.time() - t0
 
     # Forced dataset-resident-labels regime (the 100×-node path): rank
-    # state as a Dataset instead of a driver vector, so the tag-union
-    # push/apply exchange plan has a measured cost per round (VERDICT
-    # r03 #5). 4 rounds — each round is a fixed number of exchanges, so
-    # per-round cost is what the row prices; the FULL 10-iteration
-    # forced plan is oracle-verified by the sweep under
-    # NTTO_GRAPH_REGIME=dataset (correctness) — this row is its price.
+    # state lives in the object store instead of a driver vector, so the
+    # static-bucket Pregel plan has a measured cost per round (VERDICT
+    # r03 #5). 4 rounds — edges bucket once, each round ships node-scale
+    # messages only; the FULL 10-iteration forced plan is
+    # oracle-verified by the sweep under NTTO_GRAPH_REGIME=dataset
+    # (correctness) — this row is its price. History: the tag-union
+    # Dataset formulation re-shuffled edges twice per round and cost
+    # 61 s on this input; the Pregel engine runs it in ~3.5 s.
     from ntto_ray.stages.graph import pagerank_int
 
     t0 = time.time()

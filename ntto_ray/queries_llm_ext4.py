@@ -706,13 +706,18 @@ def rel_q7_trade_flow(sf_dir: str):
     constant 25-row nation dim folds in map-side; a per-block
     (orderkey, supp-nation) combiner between joins cuts the second
     join's input; only the nation×nation aggregate leaves the last
-    stage. Revenue is 4-decimal integer cents (queries_rel exactness
+    stage. Each join is a ``copartition_inner_join`` — one tag-union
+    hash exchange + per-partition acero join — because Ray's native
+    join operator pays a per-join aggregator-actor spin-up that
+    dominated this chain (measured 26 s → see stages/joins.py).
+    Revenue is 4-decimal integer cents (queries_rel exactness
     discipline)."""
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
     from ntto_ray.queries_rel import _cents, _read
     from ntto_ray.stages.exchange import join_parallelism
+    from ntto_ray.stages.joins import copartition_inner_join
 
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
@@ -749,12 +754,12 @@ def rel_q7_trade_flow(sf_dir: str):
         .map_batches(supp_prep, batch_format="pyarrow")
         .materialize()
     )
-    j1 = li.join(
+    j1 = copartition_inner_join(
+        li,
         supp,
-        "inner",
-        num_partitions=join_parallelism(li, supp),
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
+        on="l_suppkey",
+        right_on="s_suppkey",
+        parallelism=join_parallelism(li, supp),
     )
 
     # map-side combiner: one (orderkey, supp-nation) partial per block
@@ -779,13 +784,15 @@ def rel_q7_trade_flow(sf_dir: str):
     j1 = j1.map_batches(combine, batch_format="pyarrow").materialize()
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).materialize()
-    j2 = j1.join(
+    j2 = copartition_inner_join(
+        j1,
         orders,
-        "inner",
-        num_partitions=join_parallelism(j1, orders),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    ).materialize()
+        on="l_orderkey",
+        right_on="o_orderkey",
+        parallelism=join_parallelism(orders),
+    )
+    # drop the spent orderkey before the third exchange ships the rows
+    j2 = j2.select_columns(["o_custkey", "s_nat", "rev"])
 
     def cust_prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -800,12 +807,17 @@ def rel_q7_trade_flow(sf_dir: str):
         .map_batches(cust_prep, batch_format="pyarrow")
         .materialize()
     )
-    j3 = j2.join(
+    j3 = copartition_inner_join(
+        j2,
         cust,
-        "inner",
-        num_partitions=join_parallelism(j2, cust),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+        on="o_custkey",
+        right_on="c_custkey",
+        parallelism=join_parallelism(cust),
+        # j2 is a lazy chain — hand over its (known) schema so the join
+        # doesn't execute a prefix just to sniff types
+        left_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("s_nat", pa.int64()), ("rev", pa.int64())]
+        ),
     )
 
     nat = pq.read_table(

@@ -1158,202 +1158,190 @@ def _pagerank_dataset(
     scale: int,
     damping_pct: int,
 ) -> pa.Table:
-    """Dataset-resident ranks: no node-scale driver state. Each round is
-    two tag-union hash exchanges — (1) PUSH: state joins edges on the
-    source key, every edge row emits ``pr[src] // od[src]`` to its dst;
-    (2) APPLY: contribution partials join state on the node key, a
-    grouped fold computes ``base + d·Σ // 100`` and carries the static
-    out-degree forward. State materializes per round (node-scale blocks
-    in the object store, never on the driver). Returns the final state
-    as a pa.Table ONLY because every current caller is a registered
-    query whose result the driver collects anyway — at true 10⁹-node
-    scale the caller would keep the Dataset and write it out."""
-    from ntto_ray.stages.exchange import NO_FUSE_ARGS, conform, hash_grouped
+    """Dataset-labels regime as a static-partition Pregel engine
+    (Malewicz et al., SIGMOD'10): the edge set is hash-bucketed by
+    SOURCE node exactly ONCE; after that, each round ships only
+    node-scale rank messages between buckets — the edge payload never
+    crosses the wire again. Raw Ray tasks here (the repo's documented
+    last resort) because this is the one shape the Dataset API can't
+    express: an iterative fixed-point over a STATIC co-partitioned
+    side. Datasets carry no partitioning metadata across operations, so
+    the previous tag-union formulation re-shuffled the full edge set
+    twice per round (measured: 4 rounds over 10.8 M canonical edges =
+    61 s at 32 CPUs; see BENCH_r04 for this engine on the same job).
 
-    _ST = pa.schema(
-        [("key", pa.string()), ("pr", pa.int64()), ("od", pa.int64())]
-    )
-    _MSG = pa.schema(
-        [("key", pa.string()), ("dst", pa.string()), ("pr", pa.int64()),
-         ("od", pa.int64()), ("tag", pa.int8())]
-    )
+    Partitioning contract: bucket(u) = poly_hash(u) mod P. Bucket b owns
+    the state (pr, out-degree) of every node with bucket(u) = b AND the
+    out-edges of exactly those nodes — so out-degree is bucket-local and
+    the per-round PUSH needs no remote reads. Build precomputes, per
+    bucket: src index into the bucket's node vector, the destination
+    grouping (unique dsts + inverse), and the dst→target-bucket slice
+    boundaries; a round is then pure numpy per bucket (contrib =
+    pr[src] // od[src]; one np.add.at) emitting P message slices, and an
+    APPLY per bucket folding the ≤P slices addressed to it. The driver
+    holds only the P×P grid of object REFS; node-scale data lives in the
+    object store end to end (the final pa.Table gather exists because
+    every current caller is a registered query the driver collects
+    anyway). Integer arithmetic → bit-identical to the driver-vector
+    regime under any fold order (tests pin the regimes against each
+    other)."""
+    from ntto_ray.stages.dedup import poly_content_hashes
+    from ntto_ray.stages.exchange import shuffle_parallelism
 
-    # state0: every node, pr = scale, od = out-degree (0 for sinks) — one
-    # grouped exchange over per-block degree partials.
-    def deg_parts(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema([("key", pa.string()), ("od", pa.int64())]).empty_table()
-        s = t[src_col].to_numpy(zero_copy_only=False)
-        d = t[dst_col].to_numpy(zero_copy_only=False)
-        us, cs = np.unique(s, return_counts=True)
-        ud = np.unique(d)
-        return pa.table(
-            {
-                "key": pa.array(
-                    np.concatenate([us, ud]).tolist(), pa.string()
-                ),
-                "od": np.concatenate([cs, np.zeros(len(ud), np.int64)]),
-            }
-        )
-
-    def fold_state0(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _ST.empty_table()
-        k = t["key"].to_numpy(zero_copy_only=False)
-        od = t["od"].to_numpy()
-        u, inv = np.unique(k, return_inverse=True)
-        s = np.zeros(len(u), dtype=np.int64)
-        np.add.at(s, inv, od)
-        return pa.table(
-            {
-                "key": pa.array(u.tolist(), pa.string()),
-                "pr": np.full(len(u), scale, dtype=np.int64),
-                "od": s,
-            }
-        )
-
-    state = (
-        hash_grouped(
-            edges.map_batches(deg_parts, batch_format="pyarrow"),
-            ["key"],
-            sort=False,
-        )
-        .map_batches(fold_state0, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
-        .materialize()
-    )
-
-    def tag_edges(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _MSG.empty_table()
-        n = t.num_rows
-        return pa.table(
-            {
-                "key": t[src_col],
-                "dst": t[dst_col],
-                "pr": pa.array(np.zeros(n, np.int64)),
-                "od": pa.array(np.zeros(n, np.int64)),
-                "tag": pa.array(np.zeros(n, np.int8)),
-            }
-        ).cast(_MSG)
-
-    def tag_state(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _MSG.empty_table()
-        n = t.num_rows
-        return pa.table(
-            {
-                "key": t["key"],
-                "dst": pa.array([""] * n, pa.string()),
-                "pr": t["pr"],
-                "od": t["od"],
-                "tag": pa.array(np.ones(n, np.int8)),
-            }
-        ).cast(_MSG)
-
+    nparts = max(2, shuffle_parallelism())  # num_returns=1 would unwrap
     base = (100 - damping_pct) * scale // 100
 
-    def push_kernel(t: pa.Table) -> pa.Table:
-        """Grouped block: per key, the tag=1 row carries (pr, od); every
-        tag=0 edge row emits pr//od to its dst, folded block-locally."""
-        out_schema = pa.schema([("key", pa.string()), ("c", pa.int64())])
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return out_schema.empty_table()
-        k = t["key"].to_numpy(zero_copy_only=False)
-        tag = t["tag"].to_numpy()
-        u, inv = np.unique(k, return_inverse=True)
-        st = tag == 1
-        pr_g = np.zeros(len(u), dtype=np.int64)
-        od_g = np.ones(len(u), dtype=np.int64)
-        pr_g[inv[st]] = t["pr"].to_numpy()[st]
-        od_g[inv[st]] = np.maximum(t["od"].to_numpy()[st], 1)
-        em = ~st
-        if not em.any():
-            return out_schema.empty_table()
-        contrib = pr_g[inv[em]] // od_g[inv[em]]
-        dst = t["dst"].to_numpy(zero_copy_only=False)[em]
-        ud, dinv = np.unique(dst, return_inverse=True)
-        part = np.zeros(len(ud), dtype=np.int64)
-        np.add.at(part, dinv, contrib)
-        return pa.table(
-            {"key": pa.array(ud.tolist(), pa.string()), "c": part}
-        )
+    _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    _NODE = pa.schema([("node", pa.string()), ("od", pa.int64())])
 
-    _AP = pa.schema(
-        [("key", pa.string()), ("c", pa.int64()), ("pr", pa.int64()),
-         ("od", pa.int64()), ("tag", pa.int8())]
-    )
+    def _bucket_of(col) -> np.ndarray:
+        """Owner bucket per string: first poly hash, uint64 bit-view,
+        mod P. Bucket choice never affects results (integer fold is
+        order-free), only placement."""
+        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+            col = pa.array(col, pa.string())
+        h1, _ = poly_content_hashes(col)
+        return (h1.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
 
-    def tag_contrib(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _AP.empty_table()
-        n = t.num_rows
-        return pa.table(
-            {
-                "key": t["key"],
-                "c": t["c"],
-                "pr": pa.array(np.zeros(n, np.int64)),
-                "od": pa.array(np.zeros(n, np.int64)),
-                "tag": pa.array(np.zeros(n, np.int8)),
-            }
-        ).cast(_AP)
-
-    def tag_state2(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _AP.empty_table()
-        n = t.num_rows
-        return pa.table(
-            {
-                "key": t["key"],
-                "c": pa.array(np.zeros(n, np.int64)),
-                "pr": t["pr"],
-                "od": t["od"],
-                "tag": pa.array(np.ones(n, np.int8)),
-            }
-        ).cast(_AP)
-
-    def apply_kernel(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _ST.empty_table()
-        k = t["key"].to_numpy(zero_copy_only=False)
-        tag = t["tag"].to_numpy()
-        u, inv = np.unique(k, return_inverse=True)
-        s = np.zeros(len(u), dtype=np.int64)
-        np.add.at(s, inv, t["c"].to_numpy())
-        st = tag == 1
-        od_g = np.zeros(len(u), dtype=np.int64)
-        od_g[inv[st]] = t["od"].to_numpy()[st]
-        return pa.table(
-            {
-                "key": pa.array(u.tolist(), pa.string()),
-                "pr": base + damping_pct * s // 100,
-                "od": od_g,
-            }
-        )
-
-    for _ in range(iterations):
-        tagged = edges.map_batches(tag_edges, batch_format="pyarrow").union(
-            state.map_batches(tag_state, batch_format="pyarrow")
-        )
-        contribs = hash_grouped(tagged, ["key"], sort=False).map_batches(
-            push_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
-        )
-        applied = contribs.map_batches(tag_contrib, batch_format="pyarrow").union(
-            state.map_batches(tag_state2, batch_format="pyarrow")
-        )
-        state = (
-            hash_grouped(applied, ["key"], sort=False)
-            .map_batches(
-                apply_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    def _split_fn(block):
+        """Edge block → P pieces: bucket b gets (its out-edges, its
+        node partials). Node partials: sources with per-block out-degree
+        counts go to bucket(src); destinations (possible sinks) go to
+        bucket(dst) with degree 0."""
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        if block.num_rows == 0:
+            return tuple(
+                (_EDGE.empty_table(), _NODE.empty_table()) for _ in range(nparts)
             )
-            .materialize()
+        s = block[src_col].to_numpy(zero_copy_only=False).astype(np.str_)
+        d = block[dst_col].to_numpy(zero_copy_only=False).astype(np.str_)
+        sb = _bucket_of(block[src_col])
+        db = _bucket_of(block[dst_col])
+        pieces = []
+        for b in range(nparts):
+            m = sb == b
+            e = pa.table(
+                {
+                    "src": pa.array(s[m], pa.string()),
+                    "dst": pa.array(d[m], pa.string()),
+                }
+            ).cast(_EDGE)
+            us, cs = np.unique(s[m], return_counts=True)
+            ud = np.unique(d[db == b])
+            nodes = pa.table(
+                {
+                    "node": pa.array(
+                        np.concatenate([us, ud]).astype(np.str_), pa.string()
+                    ),
+                    "od": np.concatenate(
+                        [cs.astype(np.int64), np.zeros(len(ud), np.int64)]
+                    ),
+                }
+            ).cast(_NODE)
+            pieces.append((e, nodes))
+        return tuple(pieces)
+
+    def _build_fn(*pieces):
+        """Assemble one bucket: node vector (sorted unicode → C-speed
+        searchsorted), static out-degrees, and the precomputed edge
+        routing (src index, dst grouping, per-target-bucket slices)."""
+        e = pa.concat_tables([p[0] for p in pieces])
+        nt = pa.concat_tables([p[1] for p in pieces])
+        nodes_raw = nt["node"].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(nodes_raw.astype(np.str_), return_inverse=True)
+        od = np.zeros(len(nodes), dtype=np.int64)
+        if len(nodes_raw):
+            np.add.at(od, inv, nt["od"].to_numpy())
+        s = e["src"].to_numpy(zero_copy_only=False).astype(np.str_)
+        d = e["dst"].to_numpy(zero_copy_only=False).astype(np.str_)
+        src_idx = np.searchsorted(nodes, s).astype(np.int64)
+        ud, dinv = np.unique(d, return_inverse=True)
+        if len(ud):
+            udb = _bucket_of(ud)
+            order = np.argsort(udb, kind="stable")  # name-sorted within bucket
+            rank = np.empty(len(ud), np.int64)
+            rank[order] = np.arange(len(ud), dtype=np.int64)
+            ud = ud[order]
+            dinv = rank[dinv]
+            bounds = np.searchsorted(udb[order], np.arange(nparts + 1))
+        else:
+            bounds = np.zeros(nparts + 1, dtype=np.int64)
+        return {
+            "nodes": nodes,
+            "od": od,
+            "src_idx": src_idx,
+            "dinv": dinv.astype(np.int64),
+            "ud": ud,
+            "bounds": bounds,
+        }
+
+    def _init_fn(pack):
+        return np.full(len(pack["nodes"]), scale, dtype=np.int64)
+
+    def _push_fn(pack, pr):
+        """One superstep's send side for one bucket: fold contributions
+        onto this bucket's distinct destinations, slice by owner."""
+        b = pack["bounds"]
+        sums = np.zeros(len(pack["ud"]), dtype=np.int64)
+        if len(pack["src_idx"]):
+            contrib = pr[pack["src_idx"]] // pack["od"][pack["src_idx"]]
+            np.add.at(sums, pack["dinv"], contrib)
+        return tuple(
+            (pack["ud"][b[i] : b[i + 1]], sums[b[i] : b[i + 1]])
+            for i in range(nparts)
         )
 
-    out = state.to_pandas()
-    return pa.table(
-        {
-            "node": pa.array(out["key"].tolist(), pa.string()),
-            "pr": pa.array(out["pr"].to_numpy(), pa.int64()),
-        }
+    def _apply_fn(pack, *messages):
+        nodes = pack["nodes"]
+        s = np.zeros(len(nodes), dtype=np.int64)
+        for names, vals in messages:
+            if len(names):
+                np.add.at(s, np.searchsorted(nodes, names), vals)
+        return base + damping_pct * s // 100
+
+    def _emit_fn(pack, pr):
+        return pa.table(
+            {
+                "node": pa.array(pack["nodes"].tolist(), pa.string()),
+                "pr": pa.array(pr, pa.int64()),
+            }
+        )
+
+    split_r = ray.remote(num_cpus=1)(_split_fn)
+    build_r = ray.remote(num_cpus=1)(_build_fn)
+    init_r = ray.remote(num_cpus=1)(_init_fn)
+    push_r = ray.remote(num_cpus=1)(_push_fn)
+    apply_r = ray.remote(num_cpus=1)(_apply_fn)
+    emit_r = ray.remote(num_cpus=1)(_emit_fn)
+
+    block_refs = []
+    for bundle in edges.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    if not block_refs:
+        return pa.table(
+            {"node": pa.array([], pa.string()), "pr": pa.array([], pa.int64())}
+        )
+
+    split_out = [
+        split_r.options(num_returns=nparts).remote(ref) for ref in block_refs
+    ]
+    packs = [
+        build_r.remote(*[so[b] for so in split_out]) for b in range(nparts)
+    ]
+    prs = [init_r.remote(p) for p in packs]
+    for _ in range(iterations):
+        msgs = [
+            push_r.options(num_returns=nparts).remote(packs[b], prs[b])
+            for b in range(nparts)
+        ]
+        prs = [
+            apply_r.remote(packs[tb], *[msgs[sb][tb] for sb in range(nparts)])
+            for tb in range(nparts)
+        ]
+
+    return pa.concat_tables(
+        ray.get([emit_r.remote(packs[b], prs[b]) for b in range(nparts)])
     )
 
 
