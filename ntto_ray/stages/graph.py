@@ -231,172 +231,169 @@ def _components_dataset(
     b_col: str,
     max_rounds: int,
 ) -> pa.Table:
-    """Dataset-resident min-label propagation: labels live in a (node,
-    lab) Dataset, never on the driver. Per round: (1) PUSH — a tag-union
-    exchange joins labels into the (both-direction) edge list on the
-    endpoint key; each edge row pushes its key's label to the other
-    endpoint; (2) APPLY — pushes join back into the label set on the node
-    key and a grouped min folds them, emitting a per-node ``changed``
-    flag whose per-block partial sums give an O(blocks) convergence check
-    (labels only ever decrease). Result identical to the driver-vector
-    path and the union-find fast path (min member id per component)."""
-    import pyarrow.compute as pc
+    """Dataset-labels regime as a static-partition Pregel engine (same
+    design as :func:`_pagerank_dataset`, which documents the why-raw-Ray
+    rationale): the undirected edge list is hash-bucketed by endpoint
+    exactly ONCE; each min-label round ships only node-scale label
+    messages between buckets, with the classic DELTA optimization — a
+    node whose label did not change this round pushes nothing next
+    round (its previous push is already min-folded into every
+    neighbor), so late rounds touch only the shrinking frontier. Bucket
+    b owns the labels of nodes with bucket(u) = b and the out-direction
+    of every edge incident to them (both directions are emitted, so
+    each endpoint pushes from its own bucket). Convergence is a
+    per-round sum of P per-bucket changed-counts — P ints to the
+    driver, nothing node-scale. Labels only ever decrease and min-folds
+    are order-free, so the fixpoint is bit-identical to the
+    driver-vector and union-find regimes (tests pin all three)."""
+    from ntto_ray.stages.sketch import splitmix64
+    from ntto_ray.stages.exchange import shuffle_parallelism
 
-    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+    nparts = max(2, shuffle_parallelism())
+    _IMAX = np.iinfo(np.int64).max
 
-    _J = pa.schema(
-        [("key", pa.int64()), ("other", pa.int64()), ("lab", pa.int64()),
-         ("tag", pa.int8())]
-    )
-    _ST = pa.schema(
-        [("key", pa.int64()), ("lab", pa.int64()), ("changed", pa.int64())]
-    )
+    _EDGE = pa.schema([("key", pa.int64()), ("other", pa.int64())])
+    _NODE = pa.schema([("node", pa.int64())])
 
-    def both_dir(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _J.empty_table()
-        a = t[a_col].to_numpy().astype(np.int64)
-        b = t[b_col].to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "key": np.concatenate([a, b]),
-                "other": np.concatenate([b, a]),
-                "lab": np.zeros(2 * len(a), np.int64),
-                "tag": pa.array(np.zeros(2 * len(a), np.int8)),
-            }
-        ).cast(_J)
-
-    dir_edges = edges.map_batches(both_dir, batch_format="pyarrow").materialize()
-
-    # label0 = node id, from one grouped distinct over endpoint partials
-    def node_parts(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return pa.schema([("key", pa.int64())]).empty_table()
-        return pa.table({"key": np.unique(t["key"].to_numpy())})
-
-    def init_kernel(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _ST.empty_table()
-        u = np.unique(t["key"].to_numpy())
-        return pa.table(
-            {"key": u, "lab": u, "changed": np.zeros(len(u), np.int64)}
+    def _bucket_of(v: np.ndarray) -> np.ndarray:
+        return (splitmix64(v.view(np.uint64)) % np.uint64(nparts)).astype(
+            np.int64
         )
 
-    state = (
-        hash_grouped(
-            dir_edges.map_batches(node_parts, batch_format="pyarrow"),
-            ["key"],
-            sort=False,
+    def _split_fn(block):
+        """Edge block → P pieces of (out-edges, node partials), both
+        directions emitted so every endpoint pushes from its bucket."""
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        if block.num_rows == 0:
+            return tuple(
+                (_EDGE.empty_table(), _NODE.empty_table()) for _ in range(nparts)
+            )
+        a = block[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = block[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([a, b])
+        oth = np.concatenate([b, a])
+        kb = _bucket_of(key)
+        pieces = []
+        for p in range(nparts):
+            m = kb == p
+            pieces.append(
+                (
+                    pa.table({"key": key[m], "other": oth[m]}).cast(_EDGE),
+                    pa.table({"node": np.unique(key[m])}).cast(_NODE),
+                )
+            )
+        return tuple(pieces)
+
+    def _build_fn(*pieces):
+        """One bucket: sorted node vector, deduped edge routing
+        (key index, unique-destination grouping, per-owner slices)."""
+        e = pa.concat_tables([p[0] for p in pieces])
+        nt = pa.concat_tables([p[1] for p in pieces])
+        nodes = np.unique(nt["node"].to_numpy())
+        k = e["key"].to_numpy()
+        o = e["other"].to_numpy()
+        key_idx = np.searchsorted(nodes, k).astype(np.int64)
+        ud, dinv = np.unique(o, return_inverse=True)
+        # dedupe parallel (key, other) pairs — min-push is idempotent,
+        # duplicates only cost work every round
+        if len(ud):
+            code = (key_idx << np.int64(32)) | dinv.astype(np.int64)
+            code = np.unique(code)
+            key_idx = (code >> np.int64(32)).astype(np.int64)
+            dinv = (code & np.int64(0xFFFFFFFF)).astype(np.int64)
+            udb = _bucket_of(ud)
+            order = np.argsort(udb, kind="stable")
+            rank = np.empty(len(ud), np.int64)
+            rank[order] = np.arange(len(ud), dtype=np.int64)
+            ud = ud[order]
+            dinv = rank[dinv]
+            bounds = np.searchsorted(udb[order], np.arange(nparts + 1))
+        else:
+            bounds = np.zeros(nparts + 1, dtype=np.int64)
+        return {
+            "nodes": nodes,
+            "key_idx": key_idx,
+            "dinv": dinv.astype(np.int64),
+            "ud": ud,
+            "bounds": bounds,
+        }
+
+    def _init_fn(pack):
+        n = len(pack["nodes"])
+        return pack["nodes"].copy(), np.ones(n, dtype=bool)
+
+    def _push_fn(pack, state):
+        """Delta push: only edges whose source label changed last round
+        emit; per-slice empty mins are filtered before shipping."""
+        lab, changed = state
+        b = pack["bounds"]
+        m = np.full(len(pack["ud"]), _IMAX, dtype=np.int64)
+        if len(pack["key_idx"]):
+            em = changed[pack["key_idx"]]
+            if em.any():
+                np.minimum.at(m, pack["dinv"][em], lab[pack["key_idx"][em]])
+        out = []
+        for i in range(nparts):
+            s, e = b[i], b[i + 1]
+            mm = m[s:e] != _IMAX
+            out.append((pack["ud"][s:e][mm], m[s:e][mm]))
+        return tuple(out)
+
+    def _apply_fn(pack, state, *messages):
+        lab, _ = state
+        nodes = pack["nodes"]
+        m = np.full(len(nodes), _IMAX, dtype=np.int64)
+        for names, vals in messages:
+            if len(names):
+                np.minimum.at(m, np.searchsorted(nodes, names), vals)
+        new = np.minimum(lab, m)
+        changed = new < lab
+        return (new, changed), int(changed.sum())
+
+    def _emit_fn(pack, state):
+        return pa.table({"doc_id": pack["nodes"], "component": state[0]})
+
+    split_r = ray.remote(num_cpus=1)(_split_fn)
+    build_r = ray.remote(num_cpus=1)(_build_fn)
+    init_r = ray.remote(num_cpus=1)(_init_fn)
+    push_r = ray.remote(num_cpus=1)(_push_fn)
+    apply_r = ray.remote(num_cpus=1)(_apply_fn)
+    emit_r = ray.remote(num_cpus=1)(_emit_fn)
+
+    block_refs = []
+    for bundle in edges.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    if not block_refs:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
         )
-        .map_batches(init_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
-        .materialize()
-    )
 
-    def tag_state(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _J.empty_table()
-        n = t.num_rows
-        return pa.table(
-            {
-                "key": t["key"],
-                "other": pa.array(np.zeros(n, np.int64)),
-                "lab": t["lab"],
-                "tag": pa.array(np.ones(n, np.int8)),
-            }
-        ).cast(_J)
-
-    _P = pa.schema([("key", pa.int64()), ("lab", pa.int64()), ("tag", pa.int8())])
-
-    def push_kernel(t: pa.Table) -> pa.Table:
-        """Per key-group: the tag=1 row carries lab[key]; every edge row
-        pushes it to its other endpoint (block-locally min-folded)."""
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _P.empty_table()
-        kk = t["key"].to_numpy()
-        tag = t["tag"].to_numpy()
-        u, inv = np.unique(kk, return_inverse=True)
-        lab_g = np.zeros(len(u), dtype=np.int64)
-        st = tag == 1
-        lab_g[inv[st]] = t["lab"].to_numpy()[st]
-        em = ~st
-        if not em.any():
-            return _P.empty_table()
-        dst = t["other"].to_numpy()[em]
-        pushed = lab_g[inv[em]]
-        ud, dinv = np.unique(dst, return_inverse=True)
-        m = np.full(len(ud), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(m, dinv, pushed)
-        return pa.table(
-            {"key": ud, "lab": m, "tag": pa.array(np.zeros(len(ud), np.int8))}
-        )
-
-    def tag_state_p(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _P.empty_table()
-        return pa.table(
-            {
-                "key": t["key"],
-                "lab": t["lab"],
-                "tag": pa.array(np.ones(t.num_rows, np.int8)),
-            }
-        ).cast(_P)
-
-    def apply_kernel(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _ST.empty_table()
-        kk = t["key"].to_numpy()
-        tag = t["tag"].to_numpy()
-        u, inv = np.unique(kk, return_inverse=True)
-        m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(m, inv, t["lab"].to_numpy())
-        old = np.zeros(len(u), dtype=np.int64)
-        st = tag == 1
-        old[inv[st]] = t["lab"].to_numpy()[st]
-        return pa.table(
-            {"key": u, "lab": m, "changed": (m < old).astype(np.int64)}
-        )
-
+    split_out = [
+        split_r.options(num_returns=nparts).remote(ref) for ref in block_refs
+    ]
+    packs = [
+        build_r.remote(*[so[b] for so in split_out]) for b in range(nparts)
+    ]
+    states = [init_r.remote(p) for p in packs]
     for _ in range(max_rounds):
-        tagged = dir_edges.union(
-            state.map_batches(tag_state, batch_format="pyarrow")
-        )
-        pushes = hash_grouped(tagged, ["key"], sort=False).map_batches(
-            push_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
-        )
-        state = (
-            hash_grouped(
-                pushes.union(
-                    state.map_batches(tag_state_p, batch_format="pyarrow")
-                ),
-                ["key"],
-                sort=False,
+        msgs = [
+            push_r.options(num_returns=nparts).remote(packs[b], states[b])
+            for b in range(nparts)
+        ]
+        outs = [
+            apply_r.options(num_returns=2).remote(
+                packs[tb], states[tb], *[msgs[sb][tb] for sb in range(nparts)]
             )
-            .map_batches(
-                apply_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
-            )
-            .materialize()
-        )
-
-        def changed_part(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "changed" not in t.column_names:
-                return pa.table({"c": pa.array([0], pa.int64())})
-            return pa.table(
-                {"c": pa.array([int(pc.sum(t["changed"]).as_py() or 0)], pa.int64())}
-            )
-
-        n_changed = int(
-            state.map_batches(changed_part, batch_format="pyarrow")
-            .to_pandas()["c"]
-            .sum()
-        )
-        if n_changed == 0:
-            out = state.to_pandas().sort_values("key")
-            return pa.table(
-                {
-                    "doc_id": pa.array(out["key"].to_numpy(), pa.int64()),
-                    "component": pa.array(out["lab"].to_numpy(), pa.int64()),
-                }
-            )
+            for tb in range(nparts)
+        ]
+        states = [o[0] for o in outs]
+        if sum(ray.get([o[1] for o in outs])) == 0:
+            return pa.concat_tables(
+                ray.get(
+                    [emit_r.remote(packs[b], states[b]) for b in range(nparts)]
+                )
+            ).sort_by("doc_id")
     raise UnconvergedComponentsError(
         f"no fixpoint after {max_rounds} rounds — component diameter "
         f"exceeds max_rounds; raise max_rounds for chain-like graphs"
