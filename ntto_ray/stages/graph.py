@@ -492,147 +492,169 @@ def _khop_dataset(
     dst_col: str,
     k: int,
 ) -> pa.Table:
-    """Dataset-resident BFS state: (node, dist) rows for REACHED nodes
-    only (frontier-scale, not graph-scale — the natural sparse layout).
-    Each round: (1) tag-union the frontier into edges on the source key,
-    grouped blocks emit the distinct destinations of frontier sources;
-    (2) tag-union those candidates into the state on the node key, a
-    grouped min keeps first-reach distances. Early-exit when a round
-    reaches nothing new (state row count stops growing — distances never
-    change once set, so the count delta IS the frontier size)."""
-    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+    """Dataset-labels regime as a static-partition Pregel engine (design
+    and why-raw-Ray rationale: :func:`_pagerank_dataset`): directed
+    edges bucket by SOURCE once (deduped — BFS only needs distinct
+    arcs); the per-bucket distance vector starts at −1 with seeds at 0;
+    round r pushes the frontier (dist == r) along the precomputed
+    destination grouping and ships only candidate NAMES (the distance
+    is implied: r+1); APPLY sets still-unreached candidates and returns
+    a per-bucket newly-reached count — early exit when the frontier
+    empties. Seeds absent from the graph never enter a node vector and
+    so never surface (same contract as the driver-vector path).
+    Returns (node, dist) for reached nodes only, dist in [0, k]."""
+    from ntto_ray.stages.dedup import poly_content_hashes
+    from ntto_ray.stages.exchange import shuffle_parallelism
 
-    _ST = pa.schema([("key", pa.string()), ("dist", pa.int64())])
-    _EX = pa.schema(
-        [("key", pa.string()), ("dst", pa.string()), ("tag", pa.int8())]
-    )
-
-    # Seeds outside the graph must not surface in the output (the driver
-    # path filters them via the node vector). The seed list is bounded
-    # (caller-supplied, frontier-zero scale), so membership is ONE
-    # broadcast streaming pass — no exchange.
+    nparts = max(2, shuffle_parallelism())
+    out_schema = pa.schema([("node", pa.string()), ("dist", pa.int64())])
     seed_arr = np.unique(np.asarray(seeds, dtype=np.str_))
-    seeds_ref = ray.put(seed_arr)
 
-    def seen_seeds(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema([("s", pa.string())]).empty_table()
-        sd = ray.get(seeds_ref)
-        both = np.unique(
-            np.concatenate(
-                [
-                    t[src_col].to_numpy(zero_copy_only=False),
-                    t[dst_col].to_numpy(zero_copy_only=False),
-                ]
-            ).astype(np.str_)
+    _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    _NODE = pa.schema([("node", pa.string())])
+
+    def _bucket_of(col) -> np.ndarray:
+        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+            col = pa.array(col, pa.string())
+        h1, _ = poly_content_hashes(col)
+        return (h1.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
+
+    def _split_fn(block):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        if block.num_rows == 0:
+            return tuple(
+                (_EDGE.empty_table(), _NODE.empty_table()) for _ in range(nparts)
+            )
+        s = block[src_col].to_numpy(zero_copy_only=False).astype(np.str_)
+        d = block[dst_col].to_numpy(zero_copy_only=False).astype(np.str_)
+        sb = _bucket_of(block[src_col])
+        db = _bucket_of(block[dst_col])
+        pieces = []
+        for b in range(nparts):
+            m = sb == b
+            e = pa.table(
+                {
+                    "src": pa.array(s[m], pa.string()),
+                    "dst": pa.array(d[m], pa.string()),
+                }
+            ).cast(_EDGE)
+            nd = np.unique(np.concatenate([s[m], d[db == b]]))
+            pieces.append(
+                (e, pa.table({"node": pa.array(nd, pa.string())}).cast(_NODE))
+            )
+        return tuple(pieces)
+
+    def _build_fn(*pieces):
+        e = pa.concat_tables([p[0] for p in pieces])
+        nt = pa.concat_tables([p[1] for p in pieces])
+        nodes = np.unique(nt["node"].to_numpy(zero_copy_only=False).astype(np.str_))
+        s = e["src"].to_numpy(zero_copy_only=False).astype(np.str_)
+        d = e["dst"].to_numpy(zero_copy_only=False).astype(np.str_)
+        src_idx = np.searchsorted(nodes, s).astype(np.int64)
+        ud, dinv = np.unique(d, return_inverse=True)
+        if len(ud):
+            # dedupe parallel arcs — BFS expansion is idempotent
+            code = (src_idx << np.int64(32)) | dinv.astype(np.int64)
+            code = np.unique(code)
+            src_idx = (code >> np.int64(32)).astype(np.int64)
+            dinv = (code & np.int64(0xFFFFFFFF)).astype(np.int64)
+            udb = _bucket_of(ud)
+            order = np.argsort(udb, kind="stable")
+            rank = np.empty(len(ud), np.int64)
+            rank[order] = np.arange(len(ud), dtype=np.int64)
+            ud = ud[order]
+            dinv = rank[dinv]
+            bounds = np.searchsorted(udb[order], np.arange(nparts + 1))
+        else:
+            bounds = np.zeros(nparts + 1, dtype=np.int64)
+        return {
+            "nodes": nodes,
+            "src_idx": src_idx,
+            "dinv": dinv.astype(np.int64),
+            "ud": ud,
+            "bounds": bounds,
+        }
+
+    def _init_fn(pack):
+        n = len(pack["nodes"])
+        dist = np.full(n, -1, dtype=np.int64)
+        if n and len(seed_arr):
+            idx = np.searchsorted(pack["nodes"], seed_arr)
+            ok = (idx < n) & (pack["nodes"][np.minimum(idx, n - 1)] == seed_arr)
+            dist[idx[ok]] = 0
+        return dist
+
+    def _push_fn(pack, dist, r):
+        b = pack["bounds"]
+        hit = np.zeros(len(pack["ud"]), dtype=bool)
+        if len(pack["src_idx"]):
+            em = dist[pack["src_idx"]] == r
+            if em.any():
+                hit[pack["dinv"][em]] = True
+        return tuple(
+            pack["ud"][b[i] : b[i + 1]][hit[b[i] : b[i + 1]]]
+            for i in range(nparts)
         )
-        return pa.table({"s": sd[np.isin(sd, both)].tolist()})
 
-    seen = edges.map_batches(seen_seeds, batch_format="pyarrow").to_pandas()
-    live_seeds = (
-        np.unique(seen["s"].to_numpy().astype(np.str_))
-        if len(seen)
-        else np.array([], dtype=np.str_)
-    )
-    if not len(live_seeds):
-        return pa.schema(
-            [("node", pa.string()), ("dist", pa.int64())]
-        ).empty_table()
+    def _apply_fn(pack, dist, r, *name_lists):
+        newly = 0
+        for names in name_lists:
+            if len(names):
+                idx = np.searchsorted(pack["nodes"], names)
+                fresh = idx[dist[idx] < 0]
+                if len(fresh):
+                    dist = dist.copy() if newly == 0 else dist
+                    dist[fresh] = r + 1
+                    newly += len(fresh)
+        return dist, newly
 
-    state = ray.data.from_arrow(
-        pa.table(
-            {
-                "key": pa.array(live_seeds.tolist(), pa.string()),
-                "dist": pa.array(np.zeros(len(live_seeds), np.int64)),
-            }
-        )
-    ).materialize()
-    n_state = state.count()
-
-    def tag_edges(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _EX.empty_table()
+    def _emit_fn(pack, dist):
+        hit = dist >= 0
         return pa.table(
             {
-                "key": t[src_col],
-                "dst": t[dst_col],
-                "tag": pa.array(np.zeros(t.num_rows, np.int8)),
+                "node": pa.array(pack["nodes"][hit].tolist(), pa.string()),
+                "dist": pa.array(dist[hit], pa.int64()),
             }
-        ).cast(_EX)
+        )
 
+    split_r = ray.remote(num_cpus=1)(_split_fn)
+    build_r = ray.remote(num_cpus=1)(_build_fn)
+    init_r = ray.remote(num_cpus=1)(_init_fn)
+    push_r = ray.remote(num_cpus=1)(_push_fn)
+    apply_r = ray.remote(num_cpus=1)(_apply_fn)
+    emit_r = ray.remote(num_cpus=1)(_emit_fn)
+
+    block_refs = []
+    for bundle in edges.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    if not block_refs:
+        return out_schema.empty_table()
+
+    split_out = [
+        split_r.options(num_returns=nparts).remote(ref) for ref in block_refs
+    ]
+    packs = [
+        build_r.remote(*[so[b] for so in split_out]) for b in range(nparts)
+    ]
+    dists = [init_r.remote(p) for p in packs]
     for r in range(k):
-        rr = r
-
-        def tag_frontier(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "key" not in t.column_names:
-                return _EX.empty_table()
-            t = t.filter(pa.compute.equal(t["dist"], rr))
-            if t.num_rows == 0:
-                return _EX.empty_table()
-            return pa.table(
-                {
-                    "key": t["key"],
-                    "dst": pa.array([""] * t.num_rows, pa.string()),
-                    "tag": pa.array(np.ones(t.num_rows, np.int8)),
-                }
-            ).cast(_EX)
-
-        def expand_kernel(t: pa.Table) -> pa.Table:
-            out = pa.schema([("key", pa.string()), ("dist", pa.int64())])
-            if t.num_rows == 0 or "key" not in t.column_names:
-                return out.empty_table()
-            kk = t["key"].to_numpy(zero_copy_only=False)
-            tag = t["tag"].to_numpy()
-            u, inv = np.unique(kk, return_inverse=True)
-            in_frontier = np.zeros(len(u), dtype=bool)
-            in_frontier[inv[tag == 1]] = True
-            em = (tag == 0) & in_frontier[inv]
-            if not em.any():
-                return out.empty_table()
-            dsts = np.unique(t["dst"].to_numpy(zero_copy_only=False)[em])
-            return pa.table(
-                {
-                    "key": pa.array(dsts.tolist(), pa.string()),
-                    "dist": pa.array(np.full(len(dsts), rr + 1, np.int64)),
-                }
+        msgs = [
+            push_r.options(num_returns=nparts).remote(packs[b], dists[b], r)
+            for b in range(nparts)
+        ]
+        outs = [
+            apply_r.options(num_returns=2).remote(
+                packs[tb], dists[tb], r, *[msgs[sb][tb] for sb in range(nparts)]
             )
-
-        def min_kernel(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "key" not in t.column_names:
-                return _ST.empty_table()
-            kk = t["key"].to_numpy(zero_copy_only=False)
-            u, inv = np.unique(kk, return_inverse=True)
-            d = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
-            np.minimum.at(d, inv, t["dist"].to_numpy())
-            return pa.table(
-                {"key": pa.array(u.tolist(), pa.string()), "dist": d}
-            )
-
-        tagged = edges.map_batches(tag_edges, batch_format="pyarrow").union(
-            state.map_batches(tag_frontier, batch_format="pyarrow")
-        )
-        candidates = hash_grouped(tagged, ["key"], sort=False).map_batches(
-            expand_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
-        )
-        state = (
-            hash_grouped(candidates.union(state), ["key"], sort=False)
-            .map_batches(
-                min_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
-            )
-            .materialize()
-        )
-        n_new = state.count()
-        if n_new == n_state:
+            for tb in range(nparts)
+        ]
+        dists = [o[0] for o in outs]
+        if sum(ray.get([o[1] for o in outs])) == 0:
             break
-        n_state = n_new
-
-    out = state.to_pandas().sort_values("key")
-    return pa.table(
-        {
-            "node": pa.array(out["key"].tolist(), pa.string()),
-            "dist": pa.array(out["dist"].to_numpy(), pa.int64()),
-        }
-    )
+    return pa.concat_tables(
+        ray.get([emit_r.remote(packs[b], dists[b]) for b in range(nparts)])
+    ).sort_by("node")
 
 
 def kcore_peel(
@@ -784,208 +806,181 @@ def _kcore_dataset(
     k: int,
     rounds: int,
 ) -> pa.Table:
-    """Dataset-resident alive set: no node-scale driver state. Setup is
-    one (a, b)-keyed exchange collapsing parallel edges into the distinct
-    undirected edge set. Each round then runs three exchanges: semi-join
-    the alive set into edges on endpoint *a*, re-key survivors on *b* and
-    semi-join again (edges with BOTH endpoints alive), fold per-endpoint
-    degree partials back into the alive set and keep nodes with degree ≥
-    k. The alive set shrinks monotonically, so a stable row count IS the
-    fixpoint — an O(1) convergence check with no extra pass."""
-    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+    """Dataset-labels regime as a static-partition Pregel engine (design
+    and why-raw-Ray rationale: :func:`_pagerank_dataset`): the
+    undirected simple projection buckets by endpoint once — both
+    directions are emitted, self-loops dropped, and the per-bucket
+    dedupe IS the global dedupe (every copy of arc u→v lands in
+    bucket(u)), so the build replaces the old up-front pair-collapse
+    exchange too. State per bucket is (alive, deg) with deg = distinct-
+    neighbor count; a peel round kills alive nodes with deg < k and
+    pushes one DECREMENT per arc out of a just-killed node — the delta
+    formulation: surviving nodes ship nothing, so late rounds touch
+    only the shrinking boundary. Decrements landing on already-dead
+    nodes are harmless (alive is monotone). Early exit when a round
+    kills nothing (fixpoint — identical result to running all
+    ``rounds``). Returns the alive node list, matching the
+    driver-vector regime and the unrolled SQL mirror bit-for-bit."""
+    from ntto_ray.stages.dedup import poly_content_hashes
+    from ntto_ray.stages.exchange import shuffle_parallelism
 
-    _E = pa.schema([("a", pa.string()), ("b", pa.string())])
+    nparts = max(2, shuffle_parallelism())
 
-    def to_und(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _E.empty_table()
-        a = t[src_col].to_numpy(zero_copy_only=False).astype(np.str_)
-        b = t[dst_col].to_numpy(zero_copy_only=False).astype(np.str_)
+    _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    def _bucket_of(col) -> np.ndarray:
+        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+            col = pa.array(col, pa.string())
+        h1, _ = poly_content_hashes(col)
+        return (h1.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
+
+    def _split_fn(block):
+        """Both directions of each non-self edge, bucketed by the
+        pushing endpoint."""
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        if block.num_rows == 0:
+            return tuple(_EDGE.empty_table() for _ in range(nparts))
+        a = block[src_col].to_numpy(zero_copy_only=False).astype(np.str_)
+        b = block[dst_col].to_numpy(zero_copy_only=False).astype(np.str_)
         keep = a != b
         a, b = a[keep], b[keep]
-        swap = a > b  # np.minimum has no unicode loop; where() does
-        lo = np.where(swap, b, a)
-        hi = np.where(swap, a, b)
-        # block-local collapse before the exchange (row-wise unique)
-        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
-        return pa.table(
-            {"a": pa.array(u[:, 0].tolist(), pa.string()),
-             "b": pa.array(u[:, 1].tolist(), pa.string())}
-        )
-
-    def dedup_pairs(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "a" not in t.column_names:
-            return _E.empty_table()
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.str_)
-        b = t["b"].to_numpy(zero_copy_only=False).astype(np.str_)
-        u = np.unique(np.stack([a, b], axis=1), axis=0)
-        return pa.table(
-            {"a": pa.array(u[:, 0].tolist(), pa.string()),
-             "b": pa.array(u[:, 1].tolist(), pa.string())}
-        )
-
-    und = (
-        hash_grouped(
-            edges.map_batches(to_und, batch_format="pyarrow"),
-            ["a", "b"],
-            sort=False,
-        )
-        .map_batches(dedup_pairs, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
-        .materialize()
-    )
-
-    _J = pa.schema(
-        [("key", pa.string()), ("other", pa.string()), ("tag", pa.int8())]
-    )
-
-    def tag_und(col_key: str, col_other: str):
-        def fn(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or col_key not in t.column_names:
-                return _J.empty_table()
-            return pa.table(
-                {
-                    "key": t[col_key],
-                    "other": t[col_other],
-                    "tag": pa.array(np.zeros(t.num_rows, np.int8)),
-                }
-            ).cast(_J)
-
-        return fn
-
-    def tag_alive(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "node" not in t.column_names:
-            return _J.empty_table()
-        return pa.table(
-            {
-                "key": t["node"],
-                "other": pa.array([""] * t.num_rows, pa.string()),
-                "tag": pa.array(np.ones(t.num_rows, np.int8)),
-            }
-        ).cast(_J)
-
-    def semijoin_kernel(t: pa.Table) -> pa.Table:
-        """Keep (key, other) edge rows whose key-group has an alive row,
-        re-keyed on `other` for the next hop."""
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _J.empty_table()
-        kk = t["key"].to_numpy(zero_copy_only=False)
-        tag = t["tag"].to_numpy()
-        u, inv = np.unique(kk, return_inverse=True)
-        ok = np.zeros(len(u), dtype=bool)
-        ok[inv[tag == 1]] = True
-        em = (tag == 0) & ok[inv]
-        if not em.any():
-            return _J.empty_table()
-        return pa.table(
-            {
-                "key": t["other"].filter(pa.array(em)),
-                "other": t["key"].filter(pa.array(em)),
-                "tag": pa.array(np.zeros(int(em.sum()), np.int8)),
-            }
-        ).cast(_J)
-
-    _A = pa.schema([("node", pa.string())])
-
-    def degree_keep_kernel(t: pa.Table) -> pa.Table:
-        """Grouped on node: count surviving-edge rows per node (each
-        both-alive edge appears once keyed by each endpoint across the
-        two semi-join hops' output), keep alive nodes with count ≥ k."""
-        if t.num_rows == 0 or "key" not in t.column_names:
-            return _A.empty_table()
-        kk = t["key"].to_numpy(zero_copy_only=False)
-        tag = t["tag"].to_numpy()
-        u, inv = np.unique(kk, return_inverse=True)
-        deg = np.zeros(len(u), dtype=np.int64)
-        np.add.at(deg, inv[tag == 0], 1)
-        alive_here = np.zeros(len(u), dtype=bool)
-        alive_here[inv[tag == 1]] = True
-        keep = alive_here & (deg >= k)
-        return pa.table({"node": pa.array(u[keep].tolist(), pa.string())})
-
-    # alive0 = all endpoint nodes of the undirected edge set
-    def und_nodes(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "a" not in t.column_names:
-            return _A.empty_table()
-        u = np.unique(
-            np.concatenate(
-                [
-                    t["a"].to_numpy(zero_copy_only=False),
-                    t["b"].to_numpy(zero_copy_only=False),
-                ]
+        key = np.concatenate([a, b])
+        oth = np.concatenate([b, a])
+        kb = _bucket_of(pa.array(key, pa.string()))
+        pieces = []
+        for p in range(nparts):
+            m = kb == p
+            pieces.append(
+                pa.table(
+                    {
+                        "src": pa.array(key[m], pa.string()),
+                        "dst": pa.array(oth[m], pa.string()),
+                    }
+                ).cast(_EDGE)
             )
+        return tuple(pieces)
+
+    def _build_fn(*pieces):
+        """One bucket: node vector (every node that appears as a pushing
+        endpoint here — i.e. ALL nodes incident to an edge, each in its
+        own bucket), globally-distinct out-arcs, destination grouping,
+        owner slices, and the initial distinct-neighbor degree."""
+        e = pa.concat_tables(pieces)
+        s = e["src"].to_numpy(zero_copy_only=False).astype(np.str_)
+        d = e["dst"].to_numpy(zero_copy_only=False).astype(np.str_)
+        nodes = np.unique(s)
+        src_idx = np.searchsorted(nodes, s).astype(np.int64)
+        ud, dinv = np.unique(d, return_inverse=True)
+        if len(ud):
+            code = (src_idx << np.int64(32)) | dinv.astype(np.int64)
+            code = np.unique(code)
+            src_idx = (code >> np.int64(32)).astype(np.int64)
+            dinv = (code & np.int64(0xFFFFFFFF)).astype(np.int64)
+            udb = _bucket_of(ud)
+            order = np.argsort(udb, kind="stable")
+            rank = np.empty(len(ud), np.int64)
+            rank[order] = np.arange(len(ud), dtype=np.int64)
+            ud = ud[order]
+            dinv = rank[dinv]
+            bounds = np.searchsorted(udb[order], np.arange(nparts + 1))
+        else:
+            bounds = np.zeros(nparts + 1, dtype=np.int64)
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        if len(src_idx):
+            np.add.at(deg, src_idx, 1)  # distinct arcs = distinct neighbors
+        return {
+            "nodes": nodes,
+            "src_idx": src_idx,
+            "dinv": dinv.astype(np.int64),
+            "ud": ud,
+            "bounds": bounds,
+            "deg0": deg,
+        }
+
+    def _init_fn(pack):
+        return np.ones(len(pack["nodes"]), dtype=bool), pack["deg0"].copy()
+
+    def _push_fn(pack, state):
+        """Kill alive nodes under k, emit one decrement per out-arc of a
+        just-killed node (folded per destination)."""
+        alive, deg = state
+        dead = alive & (deg < k)
+        b = pack["bounds"]
+        dec = np.zeros(len(pack["ud"]), dtype=np.int64)
+        n_dead = int(dead.sum())
+        if n_dead and len(pack["src_idx"]):
+            em = dead[pack["src_idx"]]
+            if em.any():
+                np.add.at(dec, pack["dinv"][em], 1)
+        new_alive = alive & ~dead
+        out = [(new_alive, deg), n_dead]
+        for i in range(nparts):
+            s, e = b[i], b[i + 1]
+            mm = dec[s:e] > 0
+            out.append((pack["ud"][s:e][mm], dec[s:e][mm]))
+        return tuple(out)
+
+    def _apply_fn(pack, state, *messages):
+        alive, deg = state
+        new_deg = deg
+        for names, vals in messages:
+            if len(names):
+                if new_deg is deg:
+                    new_deg = deg.copy()
+                idx = np.searchsorted(pack["nodes"], names)
+                np.subtract.at(new_deg, idx, vals)
+        return alive, new_deg
+
+    def _emit_fn(pack, state):
+        alive, _ = state
+        return pa.table(
+            {"node": pa.array(pack["nodes"][alive].tolist(), pa.string())}
         )
-        return pa.table({"node": pa.array(u.tolist(), pa.string())})
 
-    def dedup_nodes(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "node" not in t.column_names:
-            return _A.empty_table()
-        u = np.unique(t["node"].to_numpy(zero_copy_only=False))
-        return pa.table({"node": pa.array(u.tolist(), pa.string())})
+    split_r = ray.remote(num_cpus=1)(_split_fn)
+    build_r = ray.remote(num_cpus=1)(_build_fn)
+    init_r = ray.remote(num_cpus=1)(_init_fn)
+    push_r = ray.remote(num_cpus=1)(_push_fn)
+    apply_r = ray.remote(num_cpus=1)(_apply_fn)
+    emit_r = ray.remote(num_cpus=1)(_emit_fn)
 
-    alive = (
-        hash_grouped(
-            und.map_batches(und_nodes, batch_format="pyarrow"),
-            ["node"],
-            sort=False,
-        )
-        .map_batches(dedup_nodes, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
-        .materialize()
-    )
-    n_alive = alive.count()
+    block_refs = []
+    for bundle in edges.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    if not block_refs:
+        return pa.table({"node": pa.array([], pa.string())})
 
+    split_out = [
+        split_r.options(num_returns=nparts).remote(ref) for ref in block_refs
+    ]
+    packs = [
+        build_r.remote(*[so[b] for so in split_out]) for b in range(nparts)
+    ]
+    states = [init_r.remote(p) for p in packs]
     for _ in range(rounds):
-        # hop 1: edges keyed on a, semi-join alive → survivors keyed on b
-        hop1_in = und.map_batches(tag_und("a", "b"), batch_format="pyarrow").union(
-            alive.map_batches(tag_alive, batch_format="pyarrow")
-        )
-        hop1 = hash_grouped(hop1_in, ["key"], sort=False).map_batches(
-            semijoin_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
-        )
-        # hop 2: survivors now keyed on b, semi-join alive again; output
-        # re-keys back on a — plus we need each both-alive edge counted at
-        # BOTH endpoints, which the union of hop2 output (keyed a) and a
-        # b-keyed copy provides.
-        hop2_in = hop1.union(alive.map_batches(tag_alive, batch_format="pyarrow"))
-        both = hash_grouped(hop2_in, ["key"], sort=False).map_batches(
-            semijoin_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
-        )
-
-        # both: rows (key=a, other=b) for both-alive edges. Emit each edge
-        # at both endpoints for the degree fold.
-        def both_ends(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "key" not in t.column_names:
-                return _J.empty_table()
-            n = t.num_rows
-            return pa.table(
-                {
-                    "key": pa.concat_arrays(
-                        [t["key"].combine_chunks(), t["other"].combine_chunks()]
-                    ),
-                    "other": pa.array([""] * (2 * n), pa.string()),
-                    "tag": pa.array(np.zeros(2 * n, np.int8)),
-                }
-            ).cast(_J)
-
-        deg_in = both.map_batches(both_ends, batch_format="pyarrow").union(
-            alive.map_batches(tag_alive, batch_format="pyarrow")
-        )
-        alive = (
-            hash_grouped(deg_in, ["key"], sort=False)
-            .map_batches(
-                degree_keep_kernel,
-                batch_size=None,
-                batch_format="pyarrow",
-                **NO_FUSE_ARGS,
+        # push returns 2 + nparts objects: new_state, n_dead, msg_0.. —
+        # the driver ray.gets ONLY the n_dead ints (state stays remote)
+        pushed = [
+            push_r.options(num_returns=nparts + 2).remote(packs[b], states[b])
+            for b in range(nparts)
+        ]
+        states_mid = [p[0] for p in pushed]
+        if sum(ray.get([p[1] for p in pushed])) == 0:
+            states = states_mid
+            break  # monotone alive set: no kill ⇒ fixpoint
+        states = [
+            apply_r.remote(
+                packs[tb],
+                states_mid[tb],
+                *[pushed[sb][tb + 2] for sb in range(nparts)],
             )
-            .materialize()
-        )
-        n_new = alive.count()
-        if n_new == n_alive:
-            break  # monotone shrink: equal count ⇒ equal set ⇒ fixpoint
-        n_alive = n_new
+            for tb in range(nparts)
+        ]
 
-    out = alive.to_pandas().sort_values("node")
-    return pa.table({"node": pa.array(out["node"].tolist(), pa.string())})
+    return pa.concat_tables(
+        ray.get([emit_r.remote(packs[b], states[b]) for b in range(nparts)])
+    ).sort_by("node")
 
 
 def _nodes_driver(edges, src_col, dst_col, *, fold: bool) -> np.ndarray:
