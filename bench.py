@@ -191,7 +191,7 @@ def run_bench() -> dict:
     # (correctness) — this row is its price. History: the tag-union
     # Dataset formulation re-shuffled edges twice per round and cost
     # 61 s on this input; the Pregel engine runs it in ~3.5 s.
-    from ntto_ray.stages.graph import pagerank_int
+    from ntto_ray.stages.graph import kcore_peel, khop_distances, pagerank_int
 
     t0 = time.time()
     pagerank_int(
@@ -201,6 +201,27 @@ def run_bench() -> dict:
         max_driver_nodes=0,
     )
     timings["kg_pagerank_dataset_regime_4r"] = time.time() - t0
+
+    # Same forced-regime price rows for the other two Pregel engines
+    # (delta-peeling k-core and frontier-push BFS); both are
+    # oracle-verified under NTTO_GRAPH_REGIME=dataset by the sweep.
+    t0 = time.time()
+    kcore_peel(
+        run_kg_pipeline(SF_DIR).select_columns(["subj", "obj"]),
+        k=3,
+        rounds=6,
+        fold_edges=0,
+        max_driver_nodes=0,
+    )
+    timings["kg_kcore_dataset_regime"] = time.time() - t0
+
+    import numpy as _np
+
+    edges = run_kg_pipeline(SF_DIR).select_columns(["subj", "obj"]).materialize()
+    seeds = _np.array(sorted(edges.unique("subj"))[:8])
+    t0 = time.time()
+    khop_distances(edges, seeds, k=4, fold_edges=0, max_driver_nodes=0)
+    timings["kg_khop_dataset_regime"] = time.time() - t0
 
     result = {
         "metric": "kg pipeline end-to-end seconds (extract→prefix-cut→canonicalize→materialize)",
