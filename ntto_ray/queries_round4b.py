@@ -1,0 +1,505 @@
+"""Round-4 second wave: five curation operators a 100-TB training-data
+build runs between dedup and tokenization — an exact global-percentile
+quality gate, priority-source dedup keep, tokenizer-vocabulary/OOV
+analysis, a sequence-packing plan, and deterministic stratified
+sampling. Reference has no corpus operators (engine surface on the
+ntto.go:36-50 triple model, SURVEY §2.2); the algorithms are the
+standard published curation steps (Gopher/RefinedWeb-style gates,
+GPT-style concat-and-split packing).
+
+All five register after the driver's 50-row window (registry tail):
+they get the judge-sweep oracle check, not driver rows. Every oracle
+is exact — thresholds, tie-breaks and sampling hashes are integer
+arithmetic mirrored bit-for-bit in SQL."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ntto_ray.queries_text import _docs
+from ntto_ray.registry import register
+
+
+def _n_tokens(text_col) -> np.ndarray:
+    """Token count under the repo-wide convention (split on single
+    space, empties count): ``len(string_split(text, ' '))`` = spaces+1."""
+    return (
+        pc.add(pc.count_substring(text_col, " "), 1).to_numpy().astype(np.int64)
+    )
+
+
+# --- exact global-percentile quality gate -----------------------------------
+
+@register(
+    "corpus_quantile_gate",
+    oracle="""
+WITH tok AS (SELECT lang, len(string_split(text, ' ')) AS n FROM documents),
+cdf AS (SELECT n, count(*) AS c FROM tok GROUP BY 1),
+thr AS (
+  SELECT min(n) AS t FROM (
+    SELECT n, sum(c) OVER (ORDER BY n) AS cum, sum(c) OVER () AS total
+    FROM cdf
+  ) WHERE 4 * cum >= total
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS kept,
+       CAST(sum(n) AS BIGINT) AS tok_sum,
+       CAST(min(t) AS BIGINT) AS threshold
+FROM tok, thr WHERE n >= t GROUP BY lang
+""",
+)
+def corpus_quantile_gate(sf_dir: str):
+    """Drop the shortest quartile of the corpus by an EXACT global
+    token-count percentile — the distributed-quantile gate pattern:
+    token counts are small ints, so the exact CDF is a value-scale
+    histogram, not a sort. Pass 1 folds per-block value counts through
+    one value-keyed grouped Sum (result ≈ distinct token counts, tiny);
+    the driver reads the threshold off the value-scale CDF (smallest n
+    with 4·cum ≥ total — pure integer arithmetic, no float quantile
+    ambiguity). Pass 2 re-scans the corpus (stateless re-scan streams;
+    a corpus-scale materialize would not) and filters + aggregates per
+    language in one grouped Sum. No doc-scale exchange anywhere."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def val_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("n", pa.int64()), ("c", pa.int64())]).empty_table()
+        u, c = np.unique(_n_tokens(t["text"]), return_counts=True)
+        return pa.table({"n": u, "c": c.astype(np.int64)})
+
+    cdf = (
+        ds.map_batches(val_counts, batch_format="pyarrow")
+        .groupby("n")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("n")
+    )
+    total = int(cdf["c"].sum())
+    cum = cdf["c"].cumsum().to_numpy()
+    thr = int(cdf["n"].to_numpy()[np.searchsorted(4 * cum, total)])
+
+    def gate_partial(t: pa.Table) -> pa.Table:
+        out = pa.schema(
+            [("lang", pa.string()), ("kept", pa.int64()), ("tok_sum", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out.empty_table()
+        n = _n_tokens(t["text"])
+        keep = n >= thr
+        if not keep.any():
+            return out.empty_table()
+        lang = t["lang"].to_numpy(zero_copy_only=False)[keep]
+        n = n[keep]
+        u, inv = np.unique(lang, return_inverse=True)
+        kept = np.zeros(len(u), np.int64)
+        tok = np.zeros(len(u), np.int64)
+        np.add.at(kept, inv, 1)
+        np.add.at(tok, inv, n)
+        return pa.table(
+            {"lang": pa.array(u.tolist(), pa.string()), "kept": kept, "tok_sum": tok}
+        )
+
+    g = (
+        ds.map_batches(gate_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("kept", alias_name="kept"), Sum("tok_sum", alias_name="tok_sum"))
+        .take_all()
+    )
+    out = pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in g], pa.string()),
+            "kept": pa.array([r["kept"] for r in g], pa.int64()),
+            "tok_sum": pa.array([r["tok_sum"] for r in g], pa.int64()),
+            "threshold": pa.array([thr] * len(g), pa.int64()),
+        }
+    )
+    return out
+
+
+# --- priority-source dedup keep ---------------------------------------------
+
+@register(
+    "dedup_priority_keep",
+    oracle=None,  # filled below (_CC_SQL imports lazily to avoid a cycle)
+)
+def dedup_priority_keep(sf_dir: str):
+    """Cross-source dedup decision: exact Jaccard pairs → connected
+    components → within each cluster keep the doc from the
+    highest-priority SOURCE (priority = the source name's numeric rank,
+    lower wins; ties break to min doc id) — the standard "prefer the
+    curated mirror over the crawl" rule. Cluster membership is
+    result-scale (bounded by the dup rate), so the member→source fetch
+    is one broadcast ``is_in`` scan over the corpus and the keep pick
+    runs on the driver at result scale; the corpus itself never
+    exchanges."""
+    import ray
+
+    from ntto_ray.stages.dedup import jaccard_pairs
+    from ntto_ray.stages.graph import connected_components
+
+    pairs = jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold_pct=90)
+    labels = connected_components(pairs).to_pandas()  # result-scale
+    out_schema = pa.schema(
+        [
+            ("component", pa.int64()),
+            ("keep_doc", pa.int64()),
+            ("n_members", pa.int64()),
+        ]
+    )
+    if not len(labels):
+        return out_schema.empty_table()
+
+    members = np.sort(labels["doc_id"].to_numpy(np.int64))
+    mref = ray.put(members)
+
+    def fetch_src(t: pa.Table) -> pa.Table:
+        out = pa.schema([("doc_id", pa.int64()), ("prio", pa.int64())])
+        if t.num_rows == 0:
+            return out.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ray.get(mref)
+        hit = np.isin(ids, m)
+        if not hit.any():
+            return out.empty_table()
+        src = t["source"].to_numpy(zero_copy_only=False)[hit]
+        prio = np.array([int(s[3:]) for s in src], dtype=np.int64)
+        return pa.table({"doc_id": ids[hit], "prio": prio})
+
+    srcs = (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(fetch_src, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df = labels.merge(srcs, on="doc_id")
+    df = df.sort_values(["component", "prio", "doc_id"], kind="mergesort")
+    first = df.groupby("component", sort=True).first().reset_index()
+    sizes = df.groupby("component", sort=True).size().reset_index(name="n_members")
+    return pa.table(
+        {
+            "component": first["component"].to_numpy(np.int64),
+            "keep_doc": first["doc_id"].to_numpy(np.int64),
+            "n_members": sizes["n_members"].to_numpy(np.int64),
+        }
+    )
+
+
+# --- tokenizer vocabulary / OOV analysis ------------------------------------
+
+_VOCAB_N = 64
+
+@register(
+    "text_vocab_oov",
+    oracle=f"""
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {_VOCAB_N}),
+agg AS (
+  SELECT lang,
+         count(*) AS total_tokens,
+         sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END)
+           AS oov_tokens
+  FROM tok GROUP BY lang
+)
+SELECT lang,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(oov_tokens AS BIGINT) AS oov_tokens,
+       CAST((10000 * oov_tokens) // total_tokens AS BIGINT) AS oov_bp
+FROM agg
+""",
+)
+def text_vocab_oov(sf_dir: str):
+    """Tokenizer-coverage analysis: build the exact global top-{N}
+    vocabulary by corpus frequency (ties break lexicographically — the
+    deterministic rule that makes the SQL mirror bit-exact), then score
+    per-language out-of-vocabulary rate. Counts fold per block before
+    ONE token-keyed grouped Sum; top-N selection is per-block partial
+    top-N over the already-global counts → driver final pick over
+    blocks×N rows (exact, never collects the token-scale table). The
+    vocab broadcasts via ``ray.put`` and the OOV pass is one
+    ``np.isin`` scan + a language-keyed grouped Sum."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("tok", pa.string()), ("c", pa.int64())]).empty_table()
+        toks = (
+            pc.list_flatten(pc.split_pattern(t["text"], " "))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.str_)
+        )
+        u, c = np.unique(toks, return_counts=True)
+        return pa.table(
+            {"tok": pa.array(u.tolist(), pa.string()), "c": c.astype(np.int64)}
+        )
+
+    counts = (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def local_topn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        c = t["c"].to_numpy()
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok.astype(np.str_), -c))[:_VOCAB_N]
+        return t.take(np.sort(order))
+
+    part = counts.map_batches(
+        local_topn, batch_size=None, batch_format="pyarrow"
+    ).to_pandas()
+    part = part.sort_values(["c", "tok"], ascending=[False, True], kind="mergesort")
+    vocab = np.sort(part["tok"].to_numpy(np.str_)[:_VOCAB_N])
+    vref = ray.put(vocab)
+
+    def oov_partial(t: pa.Table) -> pa.Table:
+        out = pa.schema(
+            [
+                ("lang", pa.string()),
+                ("total_tokens", pa.int64()),
+                ("oov_tokens", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return out.empty_table()
+        v = ray.get(vref)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        parts = pc.split_pattern(t["text"], " ").combine_chunks()
+        toks = (
+            pc.list_flatten(parts).to_numpy(zero_copy_only=False).astype(np.str_)
+        )
+        lens = pc.list_value_length(parts).to_numpy().astype(np.int64)
+        u, inv = np.unique(lang, return_inverse=True)
+        tok_lang = np.repeat(inv, lens)  # lang index per flattened token
+        total = np.zeros(len(u), np.int64)
+        oov = np.zeros(len(u), np.int64)
+        np.add.at(total, tok_lang, 1)
+        np.add.at(oov, tok_lang[~np.isin(toks, v)], 1)
+        return pa.table(
+            {
+                "lang": pa.array(u.tolist(), pa.string()),
+                "total_tokens": total,
+                "oov_tokens": oov,
+            }
+        )
+
+    g = (
+        ds.map_batches(oov_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("oov_tokens", alias_name="oov_tokens"),
+        )
+        .take_all()
+    )
+    tt = np.array([r["total_tokens"] for r in g], np.int64)
+    ov = np.array([r["oov_tokens"] for r in g], np.int64)
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in g], pa.string()),
+            "total_tokens": tt,
+            "oov_tokens": ov,
+            "oov_bp": (10000 * ov) // tt,
+        }
+    )
+
+
+text_vocab_oov.__doc__ = text_vocab_oov.__doc__.replace("{N}", str(_VOCAB_N))
+
+
+# --- sequence-packing plan ----------------------------------------------------
+
+_PACK_L = 256  # context window length (tokens)
+_PACK_SHARDS = 8
+
+@register(
+    "corpus_pack_plan",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+pos AS (
+  SELECT shard, n,
+         COALESCE(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start
+  FROM tok
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST((sum(n) + {_PACK_L - 1}) // {_PACK_L} AS BIGINT) AS n_bins,
+       CAST(sum(CASE WHEN (start + n - 1) // {_PACK_L} > start // {_PACK_L}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+FROM pos GROUP BY shard
+""",
+)
+def corpus_pack_plan(sf_dir: str):
+    """GPT-style sequence-packing plan: concatenate each shard's docs in
+    doc-id order and split into fixed {L}-token context windows; report
+    per shard the window count and how many docs straddle a window
+    boundary (the packing-loss metric that decides whether to pad or
+    pack a corpus). Packing is inherently sequential, so the scale
+    contract is PER-SHARD sequentiality: docs exchange once on
+    ``doc_id % shards`` (shard count scales with corpus size so a
+    shard's rows stay block-sized; {S} here for the fixture) and each
+    shard's plan is one vectorized cumsum — no Python loop, no
+    driver-side state."""
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("shard", pa.int64()), ("doc_id", pa.int64()), ("n", pa.int64())]
+            ).empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"shard": ids % _PACK_SHARDS, "doc_id": ids, "n": _n_tokens(t["text"])}
+        )
+
+    out_schema = pa.schema(
+        [
+            ("shard", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("total_tokens", pa.int64()),
+            ("n_bins", pa.int64()),
+            ("n_crossing", pa.int64()),
+        ]
+    )
+
+    def pack_kernel(t: pa.Table) -> pa.Table:
+        """Whole-block grouped kernel: every row of a shard is in this
+        block (hash_grouped contract); order by doc_id, cumsum, window
+        arithmetic."""
+        if t.num_rows == 0 or "shard" not in t.column_names:
+            return out_schema.empty_table()
+        shard = t["shard"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        n = t["n"].to_numpy()
+        order = np.lexsort((ids, shard))
+        shard, n = shard[order], n[order]
+        csum = np.cumsum(n)
+        start = csum - n
+        # reset the running offset at each shard boundary
+        u, first = np.unique(shard, return_index=True)
+        base = np.repeat(start[first], np.diff(np.append(first, len(shard))))
+        start = start - base
+        end = start + n
+        crossing = (end - 1) // _PACK_L > start // _PACK_L
+        n_docs = np.diff(np.append(first, len(shard)))
+        totals = np.add.reduceat(n, first)
+        n_cross = np.add.reduceat(crossing.astype(np.int64), first)
+        return pa.table(
+            {
+                "shard": u,
+                "n_docs": n_docs.astype(np.int64),
+                "total_tokens": totals.astype(np.int64),
+                "n_bins": (totals + _PACK_L - 1) // _PACK_L,
+                "n_crossing": n_cross,
+            }
+        )
+
+    return hash_grouped(
+        ds.map_batches(prep, batch_format="pyarrow"), ["shard"], sort=False
+    ).map_batches(
+        pack_kernel, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
+
+
+corpus_pack_plan.__doc__ = corpus_pack_plan.__doc__.replace(
+    "{L}", str(_PACK_L)
+).replace("{S}", str(_PACK_SHARDS))
+
+
+# --- deterministic stratified sampling ----------------------------------------
+
+_STRATA_BP = {"en": 5000, "de": 2500, "fr": 2500, "es": 1250, "zh": 1250}
+_STRATA_DEFAULT_BP = 1000
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def _strata_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRATA_BP.items())
+    )
+    return f"CASE lang {arms} ELSE {_STRATA_DEFAULT_BP} END"
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE (doc_id * {_KNUTH}) % 4294967296 % 10000 < {_strata_case_sql()}
+""",
+)
+def corpus_stratified_sample(sf_dir: str):
+    """Deterministic per-language stratified sampling: keep a doc iff
+    its Knuth multiplicative hash (pure integer arithmetic — the same
+    expression evaluates in SQL, so the oracle is bit-exact) lands
+    under the language's rate in basis points. Sampling that must be
+    REPRODUCIBLE across reruns and resumes cannot use RNG state; a
+    content-keyed arithmetic hash is the standard answer. Zero
+    shuffles: one vectorized filter pass, rates broadcast as a plain
+    closure constant."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        out = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+        if t.num_rows == 0:
+            return out.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        h = (ids * _KNUTH) % 4294967296 % 10000
+        u, inv = np.unique(lang, return_inverse=True)
+        u_rate = np.array(
+            [_STRATA_BP.get(x, _STRATA_DEFAULT_BP) for x in u], dtype=np.int64
+        )
+        keep = h < u_rate[inv]
+        return pa.table(
+            {
+                "doc_id": ids[keep],
+                "lang": pa.array(lang[keep].tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+# late oracle for dedup_priority_keep (imports _CC_SQL from queries_text,
+# which imports registry — bind after both modules exist)
+def _bind_priority_oracle() -> None:
+    from ntto_ray import registry
+    from ntto_ray.queries_text import _CC_SQL
+
+    registry._ORACLES["dedup_priority_keep"] = f"""
+WITH cc AS ({_CC_SQL}),
+j AS (
+  SELECT cc.component, cc.doc_id, CAST(substr(d.source, 4) AS BIGINT) AS prio
+  FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+)
+SELECT component,
+       CAST(doc_id AS BIGINT) AS keep_doc,
+       CAST(n AS BIGINT) AS n_members
+FROM (
+  SELECT component, doc_id,
+         count(*) OVER (PARTITION BY component) AS n,
+         row_number() OVER (PARTITION BY component ORDER BY prio, doc_id) AS rn
+  FROM j
+) WHERE rn = 1
+"""
+
+
+_bind_priority_oracle()
