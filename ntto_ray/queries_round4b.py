@@ -503,3 +503,145 @@ FROM (
 
 
 _bind_priority_oracle()
+
+
+# --- sampled-seed harmonic centrality (MS-BFS) --------------------------------
+
+_HC_SEEDS = 8
+_HC_K = 4
+
+@register("kg_harmonic_centrality", oracle=None)  # oracle bound below
+def kg_harmonic_centrality(sf_dir: str):
+    """Sampled-seed harmonic centrality over the canonical KG (the
+    Eppstein-Wang estimator shape: exact BFS from a deterministic seed
+    sample, here the lexicographically-first subjects — the same seed
+    rule as kg_khop_reach, so the SQL mirror is bit-exact): ONE
+    multi-source BFS computes all seeds' distances simultaneously via
+    frontier bitmask compression (stages/graph.multi_source_distances;
+    MS-BFS, Then et al. VLDB 2015). Per node: harmonic_milli =
+    Σ_seeds 1000 // dist (integer fixed-point — no float quantile
+    ambiguity in the oracle), n_sources = seeds reaching it."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.graph import multi_source_distances
+
+    edges = run_kg_pipeline(sf_dir).select_columns(["subj", "obj"]).materialize()
+
+    def emit_src(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("s", pa.string())]).empty_table()
+        return pa.table(
+            {"s": np.unique(t["subj"].to_numpy(zero_copy_only=False))}
+        )
+
+    srcs = sorted(
+        edges.map_batches(emit_src, batch_format="pyarrow").unique("s") or []
+    )
+    seeds = np.array(srcs[:_HC_SEEDS])
+    ms = multi_source_distances(edges, seeds, k=_HC_K)  # node-scale table
+    out_schema = pa.schema(
+        [
+            ("node", pa.string()),
+            ("harmonic_milli", pa.int64()),
+            ("n_sources", pa.int64()),
+        ]
+    )
+    d = ms["dist"].to_numpy()
+    pos = d > 0
+    if not pos.any():
+        return out_schema.empty_table()
+    node = ms["node"].to_numpy(zero_copy_only=False)[pos]
+    d = d[pos]
+    u, inv = np.unique(node, return_inverse=True)
+    h = np.zeros(len(u), np.int64)
+    c = np.zeros(len(u), np.int64)
+    np.add.at(h, inv, 1000 // d)
+    np.add.at(c, inv, 1)
+    return pa.table(
+        {"node": pa.array(u.tolist(), pa.string()), "harmonic_milli": h, "n_sources": c}
+    )
+
+
+# --- near-dup blocking quality eval -------------------------------------------
+
+@register("dedup_blocking_quality", oracle=None)  # oracle bound below
+def dedup_blocking_quality(sf_dir: str):
+    """Blocking-quality evaluation of the MinHash-LSH near-dup blocker
+    against exact prefix-filtered Jaccard ground truth: pair
+    completeness (recall of true pairs, in basis points) and the
+    blocker's extra-pair count — the standard entity-resolution eval
+    (Christen 2012). Both pair sets are result-scale, so the compare is
+    a driver-side merge; each side's pipeline is the already-verified
+    one-exchange plan."""
+    from ntto_ray.stages.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ex = jaccard_pairs(docs, threshold_pct=90).to_pandas()[["doc_a", "doc_b"]]
+    lsh = minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"])).to_pandas()[
+        ["doc_a", "doc_b"]
+    ]
+    n_ex, n_lsh = len(ex), len(lsh)
+    n_both = len(ex.merge(lsh, on=["doc_a", "doc_b"]))
+    return pa.table(
+        {
+            "n_exact": pa.array([n_ex], pa.int64()),
+            "n_lsh": pa.array([n_lsh], pa.int64()),
+            "n_both": pa.array([n_both], pa.int64()),
+            "completeness_bp": pa.array(
+                [(10000 * n_both) // max(n_ex, 1)], pa.int64()
+            ),
+        }
+    )
+
+
+def _bind_late_oracles() -> None:
+    from ntto_ray import registry
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.pipelines.kg import pipeline_rules
+
+    canon = K.triples_canonical_sql(pipeline_rules())
+    hc_cte = [
+        f"canon AS MATERIALIZED ({canon})",
+        "edges AS MATERIALIZED"
+        " (SELECT DISTINCT subj AS src, obj AS dst FROM canon)",
+        f"seeds AS (SELECT DISTINCT src AS node FROM edges"
+        f" ORDER BY node LIMIT {_HC_SEEDS})",
+        "d0 AS (SELECT node AS seed, node, 0 AS dist FROM seeds)",
+    ]
+    for r in range(1, _HC_K + 1):
+        hc_cte.append(f"""d{r} AS MATERIALIZED (
+  SELECT seed, node, min(dist) AS dist FROM (
+    SELECT seed, node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT p.seed, e.dst AS node, p.dist + 1 AS dist
+    FROM d{r - 1} p JOIN edges e ON e.src = p.node
+  ) GROUP BY seed, node
+)""")
+    registry._ORACLES["kg_harmonic_centrality"] = (
+        "WITH "
+        + ",\n".join(hc_cte)
+        + f"""
+SELECT node,
+       CAST(sum(1000 // dist) AS BIGINT) AS harmonic_milli,
+       CAST(count(*) AS BIGINT) AS n_sources
+FROM d{_HC_K} WHERE dist > 0 GROUP BY node"""
+    )
+
+    from ntto_ray import queries_text  # noqa: F401  (registers the pair oracles)
+
+    ex_sql = registry._ORACLES["dedup_jaccard_pairs"]
+    lsh_sql = registry._ORACLES["dedup_minhash_lsh"]
+    registry._ORACLES["dedup_blocking_quality"] = f"""
+WITH ex AS MATERIALIZED ({ex_sql}),
+lsh AS MATERIALIZED ({lsh_sql}),
+b AS (SELECT count(*) AS n
+      FROM ex JOIN lsh ON ex.doc_a = lsh.doc_a AND ex.doc_b = lsh.doc_b)
+SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+       CAST(b.n AS BIGINT) AS n_both,
+       CAST((10000 * b.n) // greatest((SELECT count(*) FROM ex), 1) AS BIGINT)
+         AS completeness_bp
+FROM b
+"""
+
+
+_bind_late_oracles()

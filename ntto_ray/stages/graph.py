@@ -1443,3 +1443,142 @@ def lpa_communities(
             "community": pa.array(nodes[labels].tolist(), pa.string()),
         }
     )
+
+
+def multi_source_distances(
+    edges_ds: ray.data.Dataset,
+    seeds: np.ndarray,
+    *,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    k: int = 4,
+    fold_edges: int = FOLD_EDGES,
+    max_driver_nodes: int = MAX_DRIVER_NODES,
+) -> pa.Table:
+    """Multi-source BFS: exact hop distance (capped at ``k``) from EVERY
+    seed at once, via frontier bitmask compression — the MS-BFS design
+    (Then et al., VLDB 2015, "The More the Merrier: Efficient
+    Multi-Source BFS"): with S ≤ 63 seeds, a node's per-seed frontier
+    membership packs into one uint64, so a round is ONE vectorized pass
+    over the edge blocks for ALL seeds (searchsorted the sources in the
+    broadcast frontier, OR-fold destination bitmasks per block) instead
+    of S separate BFS sweeps. The per-round message is (node, bitmask)
+    — node-scale regardless of S.
+
+    Driver-vector regime only: the (node × seed) distance matrix lives
+    on the driver under the same ``max_driver_nodes`` budget as
+    :func:`pagerank_int` (S ≤ 63 int8 columns ≈ the int64 label vector
+    budget); a corpus past the budget would bucket the matrix exactly
+    like :func:`_pagerank_dataset` (same static-partition Pregel shape,
+    bitmask messages) — not yet needed by any caller, so it raises
+    rather than silently degrading.
+
+    Returns the long-form (seed, node, dist) table for reached pairs,
+    dist in [0, k]; seeds absent from the graph reach nothing."""
+    seeds_arr = np.unique(np.asarray(seeds, dtype=np.str_))
+    S = len(seeds_arr)
+    if S == 0:
+        return pa.schema(
+            [("seed", pa.string()), ("node", pa.string()), ("dist", pa.int64())]
+        ).empty_table()
+    if S > 63:
+        raise ValueError(f"multi_source_distances: S={S} > 63 seeds")
+
+    fold_edges, max_driver_nodes = _env_regime(fold_edges, max_driver_nodes)
+    edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+    out_schema = pa.schema(
+        [("seed", pa.string()), ("node", pa.string()), ("dist", pa.int64())]
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return out_schema.empty_table()
+    fold = n_edges <= fold_edges
+    if not fold and 2 * n_edges > max_driver_nodes:
+        if _distinct_node_count(edges, src_col, dst_col) > max_driver_nodes:
+            raise NotImplementedError(
+                "multi_source_distances: node count exceeds the driver "
+                "budget; bucket the distance matrix (Pregel regime) first"
+            )
+
+    nodes = _nodes_driver(edges, src_col, dst_col, fold=fold)
+    nodes_ref = ray.put(nodes)
+    n = len(nodes)
+
+    dist = np.full((n, S), -1, dtype=np.int16)
+    seed_idx = np.searchsorted(nodes, seeds_arr)
+    ok = (seed_idx < n) & (nodes[np.minimum(seed_idx, n - 1)] == seeds_arr)
+    dist[seed_idx[ok], np.flatnonzero(ok)] = 0
+
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
+
+    for r in range(k):
+        mask = np.zeros(n, dtype=np.uint64)
+        on = dist == r  # (n, S)
+        if not on.any():
+            break
+        rows, cols = np.nonzero(on)
+        np.bitwise_or.at(mask, rows, np.uint64(1) << cols.astype(np.uint64))
+        f_idx = np.flatnonzero(mask)
+        f_ref = ray.put((f_idx, mask[f_idx]))
+
+        def expand(t: pa.Table, *, ref=f_ref) -> pa.Table:
+            out = pa.schema([("i", pa.int64()), ("m", pa.int64())])
+            if t.num_rows == 0 or src_col not in t.column_names:
+                return out.empty_table()
+            nd = ray.get(nodes_ref)
+            fi, fm = ray.get(ref)
+            sid = np.searchsorted(nd, t[src_col].to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(fi, sid)
+            hit = (pos < len(fi)) & (fi[np.minimum(pos, len(fi) - 1)] == sid)
+            if not hit.any():
+                return out.empty_table()
+            did = np.searchsorted(
+                nd, t[dst_col].to_numpy(zero_copy_only=False)
+            )[hit]
+            masks = fm[pos[hit]]
+            u, inv = np.unique(did, return_inverse=True)
+            orm = np.zeros(len(u), dtype=np.uint64)
+            np.bitwise_or.at(orm, inv, masks)
+            return pa.table(
+                {"i": u.astype(np.int64), "m": orm.view(np.int64)}
+            )
+
+        expanded = edges.map_batches(expand, batch_format="pyarrow")
+        if not fold:
+            # one i-keyed exchange OR-folds partials to node-scale first
+
+            def or_fold(t: pa.Table) -> pa.Table:
+                out = pa.schema([("i", pa.int64()), ("m", pa.int64())])
+                if t.num_rows == 0 or "i" not in t.column_names:
+                    return out.empty_table()
+                ii = t["i"].to_numpy()
+                u, inv = np.unique(ii, return_inverse=True)
+                orm = np.zeros(len(u), dtype=np.uint64)
+                np.bitwise_or.at(orm, inv, t["m"].to_numpy().view(np.uint64))
+                return pa.table({"i": u, "m": orm.view(np.int64)})
+
+            expanded = hash_grouped(expanded, ["i"], sort=False).map_batches(
+                or_fold, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+            )
+        df = expanded.to_pandas()
+        if not len(df):
+            continue
+        u, inv = np.unique(df["i"].to_numpy(), return_inverse=True)
+        orm = np.zeros(len(u), dtype=np.uint64)
+        np.bitwise_or.at(orm, inv, df["m"].to_numpy().view(np.uint64))
+        # set still-unreached (node, seed) cells to r+1
+        reach = (orm[:, None] >> np.arange(S, dtype=np.uint64)) & np.uint64(1)
+        fresh = (reach.astype(bool)) & (dist[u] < 0)
+        if fresh.any():
+            sub = dist[u]
+            sub[fresh] = r + 1
+            dist[u] = sub
+
+    ni, si = np.nonzero(dist >= 0)
+    return pa.table(
+        {
+            "seed": pa.array(seeds_arr[si].tolist(), pa.string()),
+            "node": pa.array(nodes[ni].tolist(), pa.string()),
+            "dist": pa.array(dist[ni, si].astype(np.int64)),
+        }
+    )

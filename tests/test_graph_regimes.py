@@ -167,3 +167,27 @@ def test_env_regime_override_matches_auto(ray_session, monkeypatch):
     monkeypatch.setenv("NTTO_GRAPH_REGIME", "dataset")
     forced_cc = connected_components(pairs)
     assert _sorted_df(auto_cc).equals(_sorted_df(forced_cc))
+
+
+def test_multi_source_matches_per_seed_khop(ray_session):
+    """MS-BFS bitmask path (fold and exchange variants) must agree with
+    S independent khop_distances sweeps — per-seed distances are the
+    contract, the bitmask is only compression."""
+    from ntto_ray.stages.graph import multi_source_distances
+
+    ds = _string_edge_ds(7)
+    seeds = np.array(["n000", "n007", "n013", "zzz-not-in-graph"])
+    fold = multi_source_distances(ds, seeds, k=3)
+    vec = multi_source_distances(ds, seeds, k=3, fold_edges=0)
+    assert _sorted_df(fold).equals(_sorted_df(vec))
+
+    got = fold.to_pandas()
+    for s in seeds:
+        one = khop_distances(ds, np.array([s]), k=3).to_pandas()
+        mine = (
+            got[got["seed"] == s][["node", "dist"]]
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        want = one.sort_values("node").reset_index(drop=True)
+        assert mine.equals(want), f"seed {s} disagrees with khop"
