@@ -645,3 +645,116 @@ FROM b
 
 
 _bind_late_oracles()
+
+
+# --- incremental canonical maintenance ----------------------------------------
+
+@register("kg_incremental_canonical", oracle=None)  # oracle bound below
+def kg_incremental_canonical(sf_dir: str):
+    """Incremental canonical-KG maintenance — the daily-crawl-delta
+    path a 100-TB graph build needs: split the corpus deterministically
+    into a BASE (90%) and a DELTA (10%, conv id ≡ 0 mod 10), build the
+    base as a bucketed canonical once, canonicalize only the delta with
+    the SAME subject-bucket function/count, then merge CO-PARTITIONED:
+    one task per bucket reads the base bucket's blocks and the delta
+    bucket's blocks and runs one C++ grouped cnt-sum. Only the delta
+    pays an all-to-all; the base never re-exchanges (its blocks ARE the
+    merge partitions — the keep_bucket layout contract,
+    stages/canonicalize.py). The oracle is the BATCH rebuild over the
+    full corpus: incremental must equal batch bit-for-bit."""
+    import ray
+
+    from ntto_ray.pipelines.kg import KGConfig, build_graph
+    from ntto_ray.sources.transcripts import synth_transcripts
+
+    ts = synth_transcripts(sf_dir)
+
+    def split(keep_delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            # conv_id = 'conv-%08d' % doc_id
+            ids = np.array(
+                [int(c[5:]) for c in t["conv_id"].to_pylist()], dtype=np.int64
+            )
+            m = (ids % 10 == 0) if keep_delta else (ids % 10 != 0)
+            return t.filter(pa.array(m))
+
+        return f
+
+    cfg = KGConfig()
+    base = build_graph(
+        ts.map_batches(split(False), batch_format="pyarrow"),
+        cfg,
+        fused=True,
+        keep_bucket=True,
+    ).materialize()
+    delta = build_graph(
+        ts.map_batches(split(True), batch_format="pyarrow"),
+        cfg,
+        fused=True,
+        keep_bucket=True,
+    ).materialize()
+
+    from ntto_ray.stages.canonicalize import SUBJ_BUCKETS
+
+    B = SUBJ_BUCKETS  # both builds used subj_buckets_for(None) = this floor
+    _T = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    @ray.remote(num_cpus=1)
+    def split(block):
+        """Block-local slice by subj_bucket (NO exchange — the bucket
+        column is already there). A block may hold several buckets (the
+        exchange maps bucket→partition by hash), but a bucket never
+        splits across blocks, so per-bucket gather + one grouped sum is
+        globally exact."""
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        if block.num_rows == 0:
+            return tuple(_T.empty_table() for _ in range(B))
+        sb = block["subj_bucket"].to_numpy()
+        body = block.select(["subj", "pred", "obj", "cnt"])
+        return tuple(body.filter(pa.array(sb == b)) for b in range(B))
+
+    @ray.remote(num_cpus=1)
+    def merge(*slices) -> pa.Table:
+        t = pa.concat_tables(slices)
+        if t.num_rows == 0:
+            return _T.empty_table()
+        g = t.group_by(["subj", "pred", "obj"]).aggregate([("cnt", "sum")])
+        return g.select(["subj", "pred", "obj", "cnt_sum"]).rename_columns(
+            ["subj", "pred", "obj", "cnt"]
+        )
+
+    def _refs(ds) -> list:
+        out = []
+        for bundle in ds.iter_internal_ref_bundles():
+            out.extend(bundle.block_refs)
+        return out
+
+    parts = [
+        split.options(num_returns=B).remote(r) for r in _refs(base) + _refs(delta)
+    ]
+    merged = [merge.remote(*[p[b] for p in parts]) for b in range(B)]
+    return pa.concat_tables(ray.get(merged))
+
+
+def _bind_incremental_oracle() -> None:
+    from ntto_ray import registry
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.pipelines.kg import pipeline_rules
+
+    # incremental == batch: the oracle IS the full-corpus canonical SQL
+    registry._ORACLES["kg_incremental_canonical"] = K.triples_canonical_sql(
+        pipeline_rules()
+    )
+
+
+_bind_incremental_oracle()
