@@ -1465,13 +1465,12 @@ def multi_source_distances(
     of S separate BFS sweeps. The per-round message is (node, bitmask)
     — node-scale regardless of S.
 
-    Driver-vector regime only: the (node × seed) distance matrix lives
-    on the driver under the same ``max_driver_nodes`` budget as
-    :func:`pagerank_int` (S ≤ 63 int8 columns ≈ the int64 label vector
-    budget); a corpus past the budget would bucket the matrix exactly
-    like :func:`_pagerank_dataset` (same static-partition Pregel shape,
-    bitmask messages) — not yet needed by any caller, so it raises
-    rather than silently degrading.
+    Three regimes like every iterative op here: driver-fold, driver
+    vector (the (node × seed) int16 matrix under the same
+    ``max_driver_nodes`` budget as :func:`pagerank_int`), and past the
+    budget a static-partition Pregel engine
+    (:func:`_multi_source_dataset`) whose per-bucket state is the
+    bucketed matrix and whose messages carry the bitmask.
 
     Returns the long-form (seed, node, dist) table for reached pairs,
     dist in [0, k]; seeds absent from the graph reach nothing."""
@@ -1495,9 +1494,8 @@ def multi_source_distances(
     fold = n_edges <= fold_edges
     if not fold and 2 * n_edges > max_driver_nodes:
         if _distinct_node_count(edges, src_col, dst_col) > max_driver_nodes:
-            raise NotImplementedError(
-                "multi_source_distances: node count exceeds the driver "
-                "budget; bucket the distance matrix (Pregel regime) first"
+            return _multi_source_dataset(
+                edges, seeds_arr, src_col=src_col, dst_col=dst_col, k=k
             )
 
     nodes = _nodes_driver(edges, src_col, dst_col, fold=fold)
@@ -1582,3 +1580,189 @@ def multi_source_distances(
             "dist": pa.array(dist[ni, si].astype(np.int64)),
         }
     )
+
+
+def _multi_source_dataset(
+    edges: ray.data.Dataset,
+    seeds_arr: np.ndarray,
+    *,
+    src_col: str,
+    dst_col: str,
+    k: int,
+) -> pa.Table:
+    """Dataset-labels regime for multi-source BFS: the same
+    static-partition Pregel engine as :func:`_khop_dataset` (directed
+    arcs deduped, bucketed by source once), with the per-bucket state
+    widened from one distance vector to an (n_bucket × S) int16 matrix
+    and the round message widened from candidate names to
+    (names, uint64 frontier bitmask) — the MS-BFS compression carried
+    into the exchange: messages stay node-scale regardless of S."""
+    from ntto_ray.stages.dedup import poly_content_hashes
+    from ntto_ray.stages.exchange import shuffle_parallelism
+
+    nparts = max(2, shuffle_parallelism())
+    S = len(seeds_arr)
+    out_schema = pa.schema(
+        [("seed", pa.string()), ("node", pa.string()), ("dist", pa.int64())]
+    )
+
+    _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    _NODE = pa.schema([("node", pa.string())])
+
+    def _bucket_of(col) -> np.ndarray:
+        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+            col = pa.array(col, pa.string())
+        h1, _ = poly_content_hashes(col)
+        return (h1.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
+
+    def _split_fn(block):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        if block.num_rows == 0:
+            return tuple(
+                (_EDGE.empty_table(), _NODE.empty_table()) for _ in range(nparts)
+            )
+        s = block[src_col].to_numpy(zero_copy_only=False).astype(np.str_)
+        d = block[dst_col].to_numpy(zero_copy_only=False).astype(np.str_)
+        sb = _bucket_of(block[src_col])
+        db = _bucket_of(block[dst_col])
+        pieces = []
+        for b in range(nparts):
+            m = sb == b
+            e = pa.table(
+                {
+                    "src": pa.array(s[m], pa.string()),
+                    "dst": pa.array(d[m], pa.string()),
+                }
+            ).cast(_EDGE)
+            nd = np.unique(np.concatenate([s[m], d[db == b]]))
+            pieces.append(
+                (e, pa.table({"node": pa.array(nd, pa.string())}).cast(_NODE))
+            )
+        return tuple(pieces)
+
+    def _build_fn(*pieces):
+        e = pa.concat_tables([p[0] for p in pieces])
+        nt = pa.concat_tables([p[1] for p in pieces])
+        nodes = np.unique(nt["node"].to_numpy(zero_copy_only=False).astype(np.str_))
+        s = e["src"].to_numpy(zero_copy_only=False).astype(np.str_)
+        d = e["dst"].to_numpy(zero_copy_only=False).astype(np.str_)
+        src_idx = np.searchsorted(nodes, s).astype(np.int64)
+        ud, dinv = np.unique(d, return_inverse=True)
+        if len(ud):
+            code = (src_idx << np.int64(32)) | dinv.astype(np.int64)
+            code = np.unique(code)
+            src_idx = (code >> np.int64(32)).astype(np.int64)
+            dinv = (code & np.int64(0xFFFFFFFF)).astype(np.int64)
+            udb = _bucket_of(ud)
+            order = np.argsort(udb, kind="stable")
+            rank = np.empty(len(ud), np.int64)
+            rank[order] = np.arange(len(ud), dtype=np.int64)
+            ud = ud[order]
+            dinv = rank[dinv]
+            bounds = np.searchsorted(udb[order], np.arange(nparts + 1))
+        else:
+            bounds = np.zeros(nparts + 1, dtype=np.int64)
+        return {
+            "nodes": nodes,
+            "src_idx": src_idx,
+            "dinv": dinv.astype(np.int64),
+            "ud": ud,
+            "bounds": bounds,
+        }
+
+    def _init_fn(pack):
+        n = len(pack["nodes"])
+        dist = np.full((n, S), -1, dtype=np.int16)
+        if n and S:
+            idx = np.searchsorted(pack["nodes"], seeds_arr)
+            ok = (idx < n) & (pack["nodes"][np.minimum(idx, n - 1)] == seeds_arr)
+            dist[idx[ok], np.flatnonzero(ok)] = 0
+        return dist
+
+    def _push_fn(pack, dist, r):
+        b = pack["bounds"]
+        fm = np.zeros(len(pack["nodes"]), dtype=np.uint64)
+        rows, cols = np.nonzero(dist == r)
+        if len(rows):
+            np.bitwise_or.at(fm, rows, np.uint64(1) << cols.astype(np.uint64))
+        hit = np.zeros(len(pack["ud"]), dtype=np.uint64)
+        if len(pack["src_idx"]):
+            em = fm[pack["src_idx"]] != 0
+            if em.any():
+                np.bitwise_or.at(
+                    hit, pack["dinv"][em], fm[pack["src_idx"][em]]
+                )
+        out = []
+        for i in range(nparts):
+            s, e = b[i], b[i + 1]
+            mm = hit[s:e] != 0
+            out.append((pack["ud"][s:e][mm], hit[s:e][mm]))
+        return tuple(out)
+
+    def _apply_fn(pack, dist, r, *messages):
+        newly = 0
+        for names, masks in messages:
+            if len(names):
+                idx = np.searchsorted(pack["nodes"], names)
+                reach = (
+                    (masks[:, None] >> np.arange(S, dtype=np.uint64))
+                    & np.uint64(1)
+                ).astype(bool)
+                fresh = reach & (dist[idx] < 0)
+                if fresh.any():
+                    if newly == 0:
+                        dist = dist.copy()
+                    sub = dist[idx]
+                    sub[fresh] = r + 1
+                    dist[idx] = sub
+                    newly += int(fresh.sum())
+        return dist, newly
+
+    def _emit_fn(pack, dist):
+        ni, si = np.nonzero(dist >= 0)
+        return pa.table(
+            {
+                "seed": pa.array(seeds_arr[si].tolist(), pa.string()),
+                "node": pa.array(pack["nodes"][ni].tolist(), pa.string()),
+                "dist": pa.array(dist[ni, si].astype(np.int64)),
+            }
+        )
+
+    split_r = ray.remote(num_cpus=1)(_split_fn)
+    build_r = ray.remote(num_cpus=1)(_build_fn)
+    init_r = ray.remote(num_cpus=1)(_init_fn)
+    push_r = ray.remote(num_cpus=1)(_push_fn)
+    apply_r = ray.remote(num_cpus=1)(_apply_fn)
+    emit_r = ray.remote(num_cpus=1)(_emit_fn)
+
+    block_refs = []
+    for bundle in edges.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    if not block_refs:
+        return out_schema.empty_table()
+
+    split_out = [
+        split_r.options(num_returns=nparts).remote(ref) for ref in block_refs
+    ]
+    packs = [
+        build_r.remote(*[so[b] for so in split_out]) for b in range(nparts)
+    ]
+    dists = [init_r.remote(p) for p in packs]
+    for r in range(k):
+        msgs = [
+            push_r.options(num_returns=nparts).remote(packs[b], dists[b], r)
+            for b in range(nparts)
+        ]
+        outs = [
+            apply_r.options(num_returns=2).remote(
+                packs[tb], dists[tb], r, *[msgs[sb][tb] for sb in range(nparts)]
+            )
+            for tb in range(nparts)
+        ]
+        dists = [o[0] for o in outs]
+        if sum(ray.get([o[1] for o in outs])) == 0:
+            break
+    return pa.concat_tables(
+        ray.get([emit_r.remote(packs[b], dists[b]) for b in range(nparts)])
+    ).sort_by([("seed", "ascending"), ("node", "ascending")])

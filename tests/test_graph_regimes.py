@@ -179,7 +179,11 @@ def test_multi_source_matches_per_seed_khop(ray_session):
     seeds = np.array(["n000", "n007", "n013", "zzz-not-in-graph"])
     fold = multi_source_distances(ds, seeds, k=3)
     vec = multi_source_distances(ds, seeds, k=3, fold_edges=0)
+    dset = multi_source_distances(
+        ds, seeds, k=3, fold_edges=0, max_driver_nodes=0
+    )
     assert _sorted_df(fold).equals(_sorted_df(vec))
+    assert _sorted_df(fold).equals(_sorted_df(dset))
 
     got = fold.to_pandas()
     for s in seeds:
