@@ -174,6 +174,15 @@ def run_bench() -> dict:
         "text_dsir_importance",
         "rel_merge_upsert",
         "orc_roundtrip",
+        # round-4 third/fourth pass (queries_round4b)
+        "corpus_quantile_gate",
+        "dedup_priority_keep",
+        "text_vocab_oov",
+        "corpus_pack_plan",
+        "corpus_stratified_sample",
+        "kg_harmonic_centrality",
+        "dedup_blocking_quality",
+        "kg_incremental_canonical",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)
