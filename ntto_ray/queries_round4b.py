@@ -758,3 +758,84 @@ def _bind_incremental_oracle() -> None:
 
 
 _bind_incremental_oracle()
+
+
+# --- personalized PageRank -----------------------------------------------------
+
+_PPR_SEEDS = 4
+_PPR_ITERS = 6
+
+@register("kg_personalized_pagerank", oracle=None)  # oracle bound below
+def kg_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank (Haveliwala, WWW 2002) over the canonical
+    KG: the teleport term and the initial mass are restricted to the
+    {S} lexicographically-first subject entities (the repo's
+    deterministic seed rule), so rank measures proximity to the seed
+    set — the recommendation / related-entities primitive. Same pure
+    int64 arithmetic, regimes and exactness contract as kg_pagerank
+    (stages/graph.pagerank_int with ``teleport_to``); the oracle is the
+    same unrolled CTE chain with the base term gated by seed
+    membership."""
+    from ntto_ray.pipelines.kg import run_kg_pipeline
+    from ntto_ray.stages.graph import pagerank_int
+
+    edges = run_kg_pipeline(sf_dir).select_columns(["subj", "obj"]).materialize()
+
+    def emit_src(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("s", pa.string())]).empty_table()
+        return pa.table(
+            {"s": np.unique(t["subj"].to_numpy(zero_copy_only=False))}
+        )
+
+    srcs = sorted(
+        edges.map_batches(emit_src, batch_format="pyarrow").unique("s") or []
+    )
+    seeds = np.array(srcs[:_PPR_SEEDS])
+    return pagerank_int(edges, iterations=_PPR_ITERS, teleport_to=seeds)
+
+
+kg_personalized_pagerank.__doc__ = kg_personalized_pagerank.__doc__.replace(
+    "{S}", str(_PPR_SEEDS)
+)
+
+
+def _bind_ppr_oracle() -> None:
+    from ntto_ray import registry
+    from ntto_ray.functions import kgspec as K
+    from ntto_ray.pipelines.kg import pipeline_rules
+
+    canon = K.triples_canonical_sql(pipeline_rules())
+    scale, d = 10**9, 85
+    base = (100 - d) * scale // 100
+    cte = [
+        f"canon AS MATERIALIZED ({canon})",
+        "edges AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM canon)",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "odeg AS MATERIALIZED"
+        " (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f"seeds AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges"
+        f" ORDER BY node LIMIT {_PPR_SEEDS})",
+        f"pr0 AS (SELECT n.node, CAST(CASE WHEN n.node IN"
+        f" (SELECT node FROM seeds) THEN {scale} ELSE 0 END AS BIGINT) AS pr"
+        f" FROM nodes n)",
+    ]
+    for r in range(1, _PPR_ITERS + 1):
+        cte.append(f"""pr{r} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node IN (SELECT node FROM seeds)
+              THEN {base} ELSE 0 END
+              + {d} * COALESCE(s.c, 0) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr // o.od) AS c
+    FROM edges e JOIN pr{r - 1} p ON p.node = e.src
+                 JOIN odeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)""")
+    registry._ORACLES["kg_personalized_pagerank"] = (
+        "WITH " + ",\n".join(cte) + f"\nSELECT node, pr FROM pr{_PPR_ITERS}"
+    )
+
+
+_bind_ppr_oracle()

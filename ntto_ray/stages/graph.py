@@ -1040,6 +1040,7 @@ def pagerank_int(
     damping_pct: int = 85,
     fold_edges: int = FOLD_EDGES,
     max_driver_nodes: int = MAX_DRIVER_NODES,
+    teleport_to: np.ndarray | None = None,
 ) -> pa.Table:
     """Fixed-iteration PageRank over a directed MULTIGRAPH of string
     nodes (every edge row contributes — parallel edges weight the link),
@@ -1047,6 +1048,12 @@ def pagerank_int(
     order-independent:
 
         pr'[v] = (100-d)*scale // 100  +  d * Σ_{u→v}(pr[u] // out[u]) // 100
+
+    ``teleport_to``: PERSONALIZED PageRank (Haveliwala, WWW 2002) —
+    restrict the teleport term (and the initial mass) to the given seed
+    nodes: base is paid only at seeds, everything else starts at 0, so
+    rank measures proximity to the seed set. Same arithmetic, same
+    regimes, same exactness contract.
 
     Integer sums are exact under any reduction order, so the distributed
     result is bit-identical to the unrolled SQL mirror (no float
@@ -1082,6 +1089,7 @@ def pagerank_int(
                 iterations=iterations,
                 scale=scale,
                 damping_pct=damping_pct,
+                teleport_to=teleport_to,
             )
 
     nodes = _nodes_driver(edges, src_col, dst_col, fold=fold)
@@ -1106,7 +1114,17 @@ def pagerank_int(
     odeg_ref = ray.put(odeg)
 
     base = (100 - damping_pct) * scale // 100
-    pr = np.full(n, scale, dtype=np.int64)
+    if teleport_to is None:
+        base_vec: "np.ndarray | int" = base
+        pr = np.full(n, scale, dtype=np.int64)
+    else:
+        tp = np.unique(np.asarray(teleport_to, dtype=np.str_))
+        idx = np.searchsorted(nodes, tp)
+        ok = (idx < n) & (nodes[np.minimum(idx, n - 1)] == tp)
+        is_seed = np.zeros(n, dtype=bool)
+        is_seed[idx[ok]] = True
+        base_vec = np.where(is_seed, base, 0).astype(np.int64)
+        pr = np.where(is_seed, scale, 0).astype(np.int64)
     for _ in range(iterations):
         pr_ref = ray.put(pr)
 
@@ -1134,7 +1152,7 @@ def pagerank_int(
             sums = np.zeros(n, dtype=np.int64)
             if len(sp):
                 sums[sp["i"].to_numpy()] = sp["c"].to_numpy()
-        pr = base + damping_pct * sums // 100
+        pr = base_vec + damping_pct * sums // 100
 
     return pa.table(
         {"node": pa.array(nodes.tolist(), pa.string()), "pr": pa.array(pr)}
@@ -1149,6 +1167,7 @@ def _pagerank_dataset(
     iterations: int,
     scale: int,
     damping_pct: int,
+    teleport_to: np.ndarray | None = None,
 ) -> pa.Table:
     """Dataset-labels regime as a static-partition Pregel engine
     (Malewicz et al., SIGMOD'10): the edge set is hash-bucketed by
@@ -1182,6 +1201,21 @@ def _pagerank_dataset(
 
     nparts = max(2, shuffle_parallelism())  # num_returns=1 would unwrap
     base = (100 - damping_pct) * scale // 100
+    tp = (
+        np.unique(np.asarray(teleport_to, dtype=np.str_))
+        if teleport_to is not None
+        else None
+    )
+
+    def _seed_mask(nodes: np.ndarray) -> np.ndarray:
+        n = len(nodes)
+        m = np.zeros(n, dtype=bool)
+        if n == 0 or not len(tp):
+            return m
+        idx = np.searchsorted(nodes, tp)
+        ok = (idx < n) & (nodes[np.minimum(idx, n - 1)] == tp)
+        m[idx[ok]] = True
+        return m
 
     _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
     _NODE = pa.schema([("node", pa.string()), ("od", pa.int64())])
@@ -1269,7 +1303,9 @@ def _pagerank_dataset(
         }
 
     def _init_fn(pack):
-        return np.full(len(pack["nodes"]), scale, dtype=np.int64)
+        if tp is None:
+            return np.full(len(pack["nodes"]), scale, dtype=np.int64)
+        return np.where(_seed_mask(pack["nodes"]), scale, 0).astype(np.int64)
 
     def _push_fn(pack, pr):
         """One superstep's send side for one bucket: fold contributions
@@ -1290,7 +1326,10 @@ def _pagerank_dataset(
         for names, vals in messages:
             if len(names):
                 np.add.at(s, np.searchsorted(nodes, names), vals)
-        return base + damping_pct * s // 100
+        if tp is None:
+            return base + damping_pct * s // 100
+        bv = np.where(_seed_mask(nodes), base, 0).astype(np.int64)
+        return bv + damping_pct * s // 100
 
     def _emit_fn(pack, pr):
         return pa.table(

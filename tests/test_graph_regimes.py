@@ -195,3 +195,18 @@ def test_multi_source_matches_per_seed_khop(ray_session):
         )
         want = one.sort_values("node").reset_index(drop=True)
         assert mine.equals(want), f"seed {s} disagrees with khop"
+
+
+def test_personalized_pagerank_three_paths_identical(ray_session):
+    ds = _string_edge_ds(11)
+    seeds = np.array(["n000", "n005", "zzz-not-in-graph"])
+    fold = pagerank_int(ds, iterations=4, teleport_to=seeds)
+    vec = pagerank_int(ds, iterations=4, fold_edges=0, teleport_to=seeds)
+    dset = pagerank_int(
+        ds, iterations=4, fold_edges=0, max_driver_nodes=0, teleport_to=seeds
+    )
+    assert _sorted_df(fold).equals(_sorted_df(vec))
+    assert _sorted_df(fold).equals(_sorted_df(dset))
+    # seeds hold mass; a node unreachable from any seed has rank 0
+    df = fold.to_pandas().set_index("node")["pr"]
+    assert df.loc["n000"] > 0
