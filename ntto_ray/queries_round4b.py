@@ -320,6 +320,36 @@ text_vocab_oov.__doc__ = text_vocab_oov.__doc__.replace("{N}", str(_VOCAB_N))
 _PACK_L = 256  # context window length (tokens)
 _PACK_SHARDS = 8
 
+
+def pack_plan_stats(
+    shard: np.ndarray, ids: np.ndarray, n: np.ndarray, *, window: int = _PACK_L
+) -> pa.Table:
+    """Vectorized concat-and-split packing stats for a block holding
+    WHOLE shards (order by doc id within shard, cumsum with a reset at
+    each shard boundary, window arithmetic). Module-level so the
+    arithmetic is property-testable against a scalar walk without Ray."""
+    order = np.lexsort((ids, shard))
+    shard, n = shard[order], n[order]
+    csum = np.cumsum(n)
+    start = csum - n
+    u, first = np.unique(shard, return_index=True)
+    base = np.repeat(start[first], np.diff(np.append(first, len(shard))))
+    start = start - base
+    end = start + n
+    crossing = (end - 1) // window > start // window
+    n_docs = np.diff(np.append(first, len(shard)))
+    totals = np.add.reduceat(n, first)
+    n_cross = np.add.reduceat(crossing.astype(np.int64), first)
+    return pa.table(
+        {
+            "shard": u,
+            "n_docs": n_docs.astype(np.int64),
+            "total_tokens": totals.astype(np.int64),
+            "n_bins": (totals + window - 1) // window,
+            "n_crossing": n_cross,
+        }
+    )
+
 @register(
     "corpus_pack_plan",
     oracle=f"""
@@ -381,34 +411,11 @@ def corpus_pack_plan(sf_dir: str):
 
     def pack_kernel(t: pa.Table) -> pa.Table:
         """Whole-block grouped kernel: every row of a shard is in this
-        block (hash_grouped contract); order by doc_id, cumsum, window
-        arithmetic."""
+        block (hash_grouped contract); stats via :func:`pack_plan_stats`."""
         if t.num_rows == 0 or "shard" not in t.column_names:
             return out_schema.empty_table()
-        shard = t["shard"].to_numpy()
-        ids = t["doc_id"].to_numpy()
-        n = t["n"].to_numpy()
-        order = np.lexsort((ids, shard))
-        shard, n = shard[order], n[order]
-        csum = np.cumsum(n)
-        start = csum - n
-        # reset the running offset at each shard boundary
-        u, first = np.unique(shard, return_index=True)
-        base = np.repeat(start[first], np.diff(np.append(first, len(shard))))
-        start = start - base
-        end = start + n
-        crossing = (end - 1) // _PACK_L > start // _PACK_L
-        n_docs = np.diff(np.append(first, len(shard)))
-        totals = np.add.reduceat(n, first)
-        n_cross = np.add.reduceat(crossing.astype(np.int64), first)
-        return pa.table(
-            {
-                "shard": u,
-                "n_docs": n_docs.astype(np.int64),
-                "total_tokens": totals.astype(np.int64),
-                "n_bins": (totals + _PACK_L - 1) // _PACK_L,
-                "n_crossing": n_cross,
-            }
+        return pack_plan_stats(
+            t["shard"].to_numpy(), t["doc_id"].to_numpy(), t["n"].to_numpy()
         )
 
     return hash_grouped(
