@@ -78,6 +78,15 @@ def corpus_quantile_gate(sf_dir: str):
         .to_pandas()
         .sort_values("n")
     )
+    if not len(cdf):  # empty corpus → empty gate (matches the oracle)
+        return pa.schema(
+            [
+                ("lang", pa.string()),
+                ("kept", pa.int64()),
+                ("tok_sum", pa.int64()),
+                ("threshold", pa.int64()),
+            ]
+        ).empty_table()
     total = int(cdf["c"].sum())
     cum = cdf["c"].cumsum().to_numpy()
     thr = int(cdf["n"].to_numpy()[np.searchsorted(4 * cum, total)])
@@ -446,17 +455,24 @@ def _strata_case_sql() -> str:
 
 @register(
     "corpus_stratified_sample",
+    # HUGEINT: a BIGINT product overflow-errors in DuckDB past doc_id
+    # ~3.47e9, while the numpy side wraps mod 2^64 (harmless — the
+    # %2^32 absorbs the wrap, pinned by test_round4b_kernels); 128-bit
+    # SQL arithmetic keeps the mirror exact over the full id range.
     oracle=f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
 FROM documents
-WHERE (doc_id * {_KNUTH}) % 4294967296 % 10000 < {_strata_case_sql()}
+WHERE (CAST(doc_id AS HUGEINT) * {_KNUTH}) % 4294967296 % 10000
+      < {_strata_case_sql()}
 """,
 )
 def corpus_stratified_sample(sf_dir: str):
     """Deterministic per-language stratified sampling: keep a doc iff
     its Knuth multiplicative hash (pure integer arithmetic — the same
-    expression evaluates in SQL, so the oracle is bit-exact) lands
-    under the language's rate in basis points. Sampling that must be
+    expression evaluates in SQL, so the oracle is bit-exact; int64
+    wraparound in the numpy product is absorbed by the mod-2^32,
+    property-pinned against arbitrary-precision ints) lands under the
+    language's rate in basis points. Sampling that must be
     REPRODUCIBLE across reruns and resumes cannot use RNG state; a
     content-keyed arithmetic hash is the standard answer. Zero
     shuffles: one vectorized filter pass, rates broadcast as a plain
@@ -529,21 +545,10 @@ def kg_harmonic_centrality(sf_dir: str):
     Σ_seeds 1000 // dist (integer fixed-point — no float quantile
     ambiguity in the oracle), n_sources = seeds reaching it."""
     from ntto_ray.pipelines.kg import run_kg_pipeline
-    from ntto_ray.stages.graph import multi_source_distances
+    from ntto_ray.stages.graph import first_subjects, multi_source_distances
 
     edges = run_kg_pipeline(sf_dir).select_columns(["subj", "obj"]).materialize()
-
-    def emit_src(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema([("s", pa.string())]).empty_table()
-        return pa.table(
-            {"s": np.unique(t["subj"].to_numpy(zero_copy_only=False))}
-        )
-
-    srcs = sorted(
-        edges.map_batches(emit_src, batch_format="pyarrow").unique("s") or []
-    )
-    seeds = np.array(srcs[:_HC_SEEDS])
+    seeds = first_subjects(edges, _HC_SEEDS)
     ms = multi_source_distances(edges, seeds, k=_HC_K)  # node-scale table
     out_schema = pa.schema(
         [
@@ -583,9 +588,7 @@ def dedup_blocking_quality(sf_dir: str):
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     ex = jaccard_pairs(docs, threshold_pct=90).to_pandas()[["doc_a", "doc_b"]]
-    lsh = minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"])).to_pandas()[
-        ["doc_a", "doc_b"]
-    ]
+    lsh = minhash_lsh_pairs(docs).to_pandas()[["doc_a", "doc_b"]]
     n_ex, n_lsh = len(ex), len(lsh)
     n_both = len(ex.merge(lsh, on=["doc_a", "doc_b"]))
     return pa.table(
@@ -676,7 +679,7 @@ def kg_incremental_canonical(sf_dir: str):
 
     ts = synth_transcripts(sf_dir)
 
-    def split(keep_delta: bool):
+    def split_docs(keep_delta: bool):
         def f(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return t
@@ -691,13 +694,13 @@ def kg_incremental_canonical(sf_dir: str):
 
     cfg = KGConfig()
     base = build_graph(
-        ts.map_batches(split(False), batch_format="pyarrow"),
+        ts.map_batches(split_docs(False), batch_format="pyarrow"),
         cfg,
         fused=True,
         keep_bucket=True,
     ).materialize()
     delta = build_graph(
-        ts.map_batches(split(True), batch_format="pyarrow"),
+        ts.map_batches(split_docs(True), batch_format="pyarrow"),
         cfg,
         fused=True,
         keep_bucket=True,
@@ -784,21 +787,10 @@ def kg_personalized_pagerank(sf_dir: str):
     same unrolled CTE chain with the base term gated by seed
     membership."""
     from ntto_ray.pipelines.kg import run_kg_pipeline
-    from ntto_ray.stages.graph import pagerank_int
+    from ntto_ray.stages.graph import first_subjects, pagerank_int
 
     edges = run_kg_pipeline(sf_dir).select_columns(["subj", "obj"]).materialize()
-
-    def emit_src(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema([("s", pa.string())]).empty_table()
-        return pa.table(
-            {"s": np.unique(t["subj"].to_numpy(zero_copy_only=False))}
-        )
-
-    srcs = sorted(
-        edges.map_batches(emit_src, batch_format="pyarrow").unique("s") or []
-    )
-    seeds = np.array(srcs[:_PPR_SEEDS])
+    seeds = first_subjects(edges, _PPR_SEEDS)
     return pagerank_int(edges, iterations=_PPR_ITERS, teleport_to=seeds)
 
 

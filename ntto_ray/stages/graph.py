@@ -1805,3 +1805,23 @@ def _multi_source_dataset(
     return pa.concat_tables(
         ray.get([emit_r.remote(packs[b], dists[b]) for b in range(nparts)])
     ).sort_by([("seed", "ascending"), ("node", "ascending")])
+
+
+def first_subjects(
+    edges: ray.data.Dataset, n: int, *, col: str = "subj"
+) -> np.ndarray:
+    """The repo's deterministic seed rule: the ``n`` lexicographically-
+    first distinct values of ``col`` (per-block unique partials → one
+    distinct fold → driver sort of the bounded result). Shared by every
+    seeded graph query so the SQL mirrors' seed CTEs stay byte-identical
+    across operators."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("s", pa.string())]).empty_table()
+        return pa.table(
+            {"s": np.unique(t[col].to_numpy(zero_copy_only=False))}
+        )
+
+    vals = edges.map_batches(emit, batch_format="pyarrow").unique("s") or []
+    return np.array(sorted(vals)[:n])

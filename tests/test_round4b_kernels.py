@@ -77,9 +77,11 @@ def test_pack_plan_matches_scalar_walk(case):
 @settings(max_examples=100, deadline=None)
 def test_stratified_hash_matches_python_int_arithmetic(ids):
     """The Knuth-hash sampling expression must be bit-identical between
-    the numpy int64 path and arbitrary-precision Python ints (which is
-    what DuckDB BIGINT arithmetic computes) — i.e. no silent int64
-    overflow in the doc-id range the engine supports."""
+    the numpy int64 path and arbitrary-precision Python ints (what the
+    oracle's HUGEINT arithmetic computes): the int64 product wraps mod
+    2^64 above doc_id ≈ 3.47e9, but the following mod-2^32 absorbs the
+    wrap exactly, so there is no silent divergence anywhere in the
+    supported id range."""
     a = np.array(ids, dtype=np.int64)
     ours = (a * _KNUTH) % 4294967296 % 10000
     ref = [(i * _KNUTH) % 4294967296 % 10000 for i in ids]
