@@ -484,31 +484,14 @@ def khop_distances(
     )
 
 
-def _khop_dataset(
-    edges: ray.data.Dataset,
-    seeds: np.ndarray,
-    *,
-    src_col: str,
-    dst_col: str,
-    k: int,
-) -> pa.Table:
-    """Dataset-labels regime as a static-partition Pregel engine (design
-    and why-raw-Ray rationale: :func:`_pagerank_dataset`): directed
-    edges bucket by SOURCE once (deduped — BFS only needs distinct
-    arcs); the per-bucket distance vector starts at −1 with seeds at 0;
-    round r pushes the frontier (dist == r) along the precomputed
-    destination grouping and ships only candidate NAMES (the distance
-    is implied: r+1); APPLY sets still-unreached candidates and returns
-    a per-bucket newly-reached count — early exit when the frontier
-    empties. Seeds absent from the graph never enter a node vector and
-    so never surface (same contract as the driver-vector path).
-    Returns (node, dist) for reached nodes only, dist in [0, k]."""
+def _directed_pregel_fns(nparts: int, src_col: str, dst_col: str):
+    """The shared SPLIT/BUILD pair of the directed-BFS Pregel engines
+    (:func:`_khop_dataset`, :func:`_multi_source_dataset`): edge blocks
+    split by source bucket (node names to both endpoint buckets), and
+    the per-bucket build produces the node vector, globally-distinct
+    arcs (BFS expansion is idempotent, so parallel arcs collapse), the
+    destination grouping, and per-target-bucket slice bounds."""
     from ntto_ray.stages.dedup import poly_content_hashes
-    from ntto_ray.stages.exchange import shuffle_parallelism
-
-    nparts = max(2, shuffle_parallelism())
-    out_schema = pa.schema([("node", pa.string()), ("dist", pa.int64())])
-    seed_arr = np.unique(np.asarray(seeds, dtype=np.str_))
 
     _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
     _NODE = pa.schema([("node", pa.string())])
@@ -575,6 +558,35 @@ def _khop_dataset(
             "ud": ud,
             "bounds": bounds,
         }
+
+    return _split_fn, _build_fn
+
+
+def _khop_dataset(
+    edges: ray.data.Dataset,
+    seeds: np.ndarray,
+    *,
+    src_col: str,
+    dst_col: str,
+    k: int,
+) -> pa.Table:
+    """Dataset-labels regime as a static-partition Pregel engine (design
+    and why-raw-Ray rationale: :func:`_pagerank_dataset`): directed
+    edges bucket by SOURCE once (deduped — BFS only needs distinct
+    arcs); the per-bucket distance vector starts at −1 with seeds at 0;
+    round r pushes the frontier (dist == r) along the precomputed
+    destination grouping and ships only candidate NAMES (the distance
+    is implied: r+1); APPLY sets still-unreached candidates and returns
+    a per-bucket newly-reached count — early exit when the frontier
+    empties. Seeds absent from the graph never enter a node vector and
+    so never surface (same contract as the driver-vector path).
+    Returns (node, dist) for reached nodes only, dist in [0, k]."""
+    from ntto_ray.stages.exchange import shuffle_parallelism
+
+    nparts = max(2, shuffle_parallelism())
+    out_schema = pa.schema([("node", pa.string()), ("dist", pa.int64())])
+    seed_arr = np.unique(np.asarray(seeds, dtype=np.str_))
+    _split_fn, _build_fn = _directed_pregel_fns(nparts, src_col, dst_col)
 
     def _init_fn(pack):
         n = len(pack["nodes"])
@@ -1636,7 +1648,6 @@ def _multi_source_dataset(
     and the round message widened from candidate names to
     (names, uint64 frontier bitmask) — the MS-BFS compression carried
     into the exchange: messages stay node-scale regardless of S."""
-    from ntto_ray.stages.dedup import poly_content_hashes
     from ntto_ray.stages.exchange import shuffle_parallelism
 
     nparts = max(2, shuffle_parallelism())
@@ -1644,71 +1655,7 @@ def _multi_source_dataset(
     out_schema = pa.schema(
         [("seed", pa.string()), ("node", pa.string()), ("dist", pa.int64())]
     )
-
-    _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
-    _NODE = pa.schema([("node", pa.string())])
-
-    def _bucket_of(col) -> np.ndarray:
-        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
-            col = pa.array(col, pa.string())
-        h1, _ = poly_content_hashes(col)
-        return (h1.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
-
-    def _split_fn(block):
-        if not isinstance(block, pa.Table):
-            block = pa.Table.from_pandas(block)
-        if block.num_rows == 0:
-            return tuple(
-                (_EDGE.empty_table(), _NODE.empty_table()) for _ in range(nparts)
-            )
-        s = block[src_col].to_numpy(zero_copy_only=False).astype(np.str_)
-        d = block[dst_col].to_numpy(zero_copy_only=False).astype(np.str_)
-        sb = _bucket_of(block[src_col])
-        db = _bucket_of(block[dst_col])
-        pieces = []
-        for b in range(nparts):
-            m = sb == b
-            e = pa.table(
-                {
-                    "src": pa.array(s[m], pa.string()),
-                    "dst": pa.array(d[m], pa.string()),
-                }
-            ).cast(_EDGE)
-            nd = np.unique(np.concatenate([s[m], d[db == b]]))
-            pieces.append(
-                (e, pa.table({"node": pa.array(nd, pa.string())}).cast(_NODE))
-            )
-        return tuple(pieces)
-
-    def _build_fn(*pieces):
-        e = pa.concat_tables([p[0] for p in pieces])
-        nt = pa.concat_tables([p[1] for p in pieces])
-        nodes = np.unique(nt["node"].to_numpy(zero_copy_only=False).astype(np.str_))
-        s = e["src"].to_numpy(zero_copy_only=False).astype(np.str_)
-        d = e["dst"].to_numpy(zero_copy_only=False).astype(np.str_)
-        src_idx = np.searchsorted(nodes, s).astype(np.int64)
-        ud, dinv = np.unique(d, return_inverse=True)
-        if len(ud):
-            code = (src_idx << np.int64(32)) | dinv.astype(np.int64)
-            code = np.unique(code)
-            src_idx = (code >> np.int64(32)).astype(np.int64)
-            dinv = (code & np.int64(0xFFFFFFFF)).astype(np.int64)
-            udb = _bucket_of(ud)
-            order = np.argsort(udb, kind="stable")
-            rank = np.empty(len(ud), np.int64)
-            rank[order] = np.arange(len(ud), dtype=np.int64)
-            ud = ud[order]
-            dinv = rank[dinv]
-            bounds = np.searchsorted(udb[order], np.arange(nparts + 1))
-        else:
-            bounds = np.zeros(nparts + 1, dtype=np.int64)
-        return {
-            "nodes": nodes,
-            "src_idx": src_idx,
-            "dinv": dinv.astype(np.int64),
-            "ud": ud,
-            "bounds": bounds,
-        }
+    _split_fn, _build_fn = _directed_pregel_fns(nparts, src_col, dst_col)
 
     def _init_fn(pack):
         n = len(pack["nodes"])
