@@ -693,18 +693,24 @@ def kg_incremental_canonical(sf_dir: str):
         return f
 
     cfg = KGConfig()
-    base = build_graph(
-        ts.map_batches(split_docs(False), batch_format="pyarrow"),
-        cfg,
-        fused=True,
-        keep_bucket=True,
-    ).materialize()
-    delta = build_graph(
-        ts.map_batches(split_docs(True), batch_format="pyarrow"),
-        cfg,
-        fused=True,
-        keep_bucket=True,
-    ).materialize()
+    # The two builds are independent lazy topologies; materialize them
+    # CONCURRENTLY (each gets its own streaming executor) so the small
+    # delta build hides inside the base build's wall time instead of
+    # serializing after it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(keep_delta: bool):
+        return build_graph(
+            ts.map_batches(split_docs(keep_delta), batch_format="pyarrow"),
+            cfg,
+            fused=True,
+            keep_bucket=True,
+        ).materialize()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        base_f = pool.submit(_build, False)
+        delta_f = pool.submit(_build, True)
+        base, delta = base_f.result(), delta_f.result()
 
     from ntto_ray.stages.canonicalize import SUBJ_BUCKETS
 
