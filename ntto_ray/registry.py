@@ -47,16 +47,17 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# The driver's correctness window is hard-capped at 50 rows (r02 and r03
-# both stopped at exactly 50), so registration order decides WHICH 50 get
-# the hard rows+schema+hash signal each round.  Round-4 rotation (VERDICT
-# r03 next-round #1): keep the 6 flagship KG rows in front, then fill the
-# remaining 44 slots with ops that have NEVER produced a driver row in any
-# round — sketches, media, source round-trips, the rel join/window core,
-# and the iterative graph analytics.  Everything r03 already verified
-# (dedup/text/ann/corpus, pagerank, …) moves behind the window; the judge
-# sweep (scripts/verify_sweep.py) still covers all registered queries.
-_R04_WINDOW = [
+# The driver's correctness window is hard-capped at 50 rows (r02–r04 all
+# stopped at exactly 50), so registration order decides WHICH 50 get the
+# hard rows+schema+hash signal each round.  Round-5 rotation (VERDICT r04
+# next-round #1): keep the 6 flagship KG rows in front, then fill the
+# remaining 44 slots from the 62 queries that have NEVER produced a
+# driver row in rounds 1–4 (verified by diffing CORRECTNESS_r01–r04
+# keys): the round-4/4b tail, the kg provenance/delta/SHACL/VoID/Turtle
+# family, and the remaining dedup/ann/text/corpus/rel ops.  Everything
+# already driver-verified moves behind the window; the judge sweep
+# (scripts/verify_sweep.py) still covers all registered queries.
+_R05_WINDOW = [
     # flagship KG chain (always first — the engine's headline)
     "kg_transcripts",
     "kg_triples_raw",
@@ -64,55 +65,58 @@ _R04_WINDOW = [
     "kg_triples_canonical",
     "kg_adjacency_degrees",
     "kg_ndjson_lines",
-    # mergeable streaming sketches (8)
-    "sketch_heavy_hitters",
-    "sketch_distinct_kmv",
-    "sketch_kmv_intersection",
-    "sketch_bloom_semijoin",
-    "sketch_hll_registers",
-    "sketch_hll_by_group",
-    "sketch_countmin",
-    "sketch_ams_f2",
-    # multimodal binary-column stages (6)
-    "media_inventory",
-    "media_frame_sample",
-    "media_audio_windows",
-    "media_resize",
-    "media_scene_cuts",
-    "media_decode_features",
-    # source-format round-trips (5)
-    "csv_roundtrip",
-    "json_roundtrip",
-    "ipc_roundtrip",
-    "nt_gzip_roundtrip",
-    "parquet_partitioned_roundtrip",
-    # relational join/window core (15)
-    "rel_hash_join_revenue",
-    "rel_outer_join",
-    "rel_anti_join",
-    "rel_semi_join",
-    "rel_asof_join",
-    "rel_range_join",
-    "rel_window_cumsum",
-    "rel_group_quantiles",
-    "rel_topk_per_group",
-    "rel_sliding_window",
-    "rel_lag_delta",
-    "rel_ntile",
-    "rel_user_sessions",
-    "rel_multiway_join",
-    "rel_grouped_mode",
-    # iterative / heavy graph analytics (10)
-    "kg_triangles",
-    "kg_kcore",
-    "kg_khop_reach",
-    "kg_lpa_communities",
-    "kg_random_walks",
-    "kg_pred_paths",
-    "kg_degree_moments",
-    "kg_walk_cooccurrence",
-    "kg_pattern_match",
-    "kg_entity_cards",
+    # round-4/4b tail named in VERDICT r04 (17)
+    "corpus_quantile_gate",
+    "dedup_priority_keep",
+    "text_vocab_oov",
+    "corpus_pack_plan",
+    "corpus_stratified_sample",
+    "kg_harmonic_centrality",
+    "dedup_blocking_quality",
+    "kg_incremental_canonical",
+    "kg_personalized_pagerank",
+    "orc_roundtrip",
+    "rel_merge_upsert",
+    "text_dsir_importance",
+    "ann_ivfpq_topk",
+    "text_inverted_index",
+    "corpus_split_assign",
+    "corpus_reservoir_sample",
+    "media_decode_real",
+    # kg provenance / delta / validation / serialization family (5)
+    "kg_provenance",
+    "kg_delta_update",
+    "kg_shacl_report",
+    "kg_void_stats",
+    "kg_turtle_blocks",
+    # dedup suite remainder (5)
+    "dedup_incremental",
+    "dedup_substring_spans",
+    "dedup_cdc_chunks",
+    "dedup_cluster_stats",
+    "dedup_precision_eval",
+    # ANN remainder (3)
+    "ann_recall_eval",
+    "ann_kmeans_clusters",
+    "ann_kmeans_inertia",
+    # text remainder (3)
+    "text_contamination_matrix",
+    "text_winnowing",
+    "text_gopher_rules",
+    # corpus pipelines remainder (4)
+    "corpus_quality_report",
+    "corpus_mixture_temperature",
+    "corpus_source_overlap",
+    "corpus_curate_resumable",
+    # kg analytics remainder (3)
+    "kg_type_histogram",
+    "kg_entity_merge_map",
+    "kg_subgraph_export",
+    # rel remainder (4)
+    "rel_grouping_sets",
+    "rel_skyline",
+    "rel_q7_trade_flow",
+    "rel_daily_active",
 ]
 
 
@@ -120,7 +124,7 @@ def _load():
     global _LOADED, _QUERIES, _ORACLES
     if _LOADED:
         return
-    # Module import order is no longer the window order (see _R04_WINDOW);
+    # Module import order is no longer the window order (see _R05_WINDOW);
     # it only decides the order of the post-window tail.
     from ntto_ray import queries_kg  # noqa: F401
     from ntto_ray import queries_text  # noqa: F401
@@ -143,11 +147,11 @@ def _load():
     # the window IS the driver-verification contract: a typo'd or
     # later-renamed entry must fail loudly, not silently shrink the
     # 50-row window and promote an unintended tail query
-    missing = [n for n in _R04_WINDOW if n not in _QUERIES]
+    missing = [n for n in _R05_WINDOW if n not in _QUERIES]
     if missing:
-        raise RuntimeError(f"_R04_WINDOW entries not registered: {missing}")
-    ordered = list(_R04_WINDOW)
-    ordered += [n for n in _QUERIES if n not in set(_R04_WINDOW)]
+        raise RuntimeError(f"_R05_WINDOW entries not registered: {missing}")
+    ordered = list(_R05_WINDOW)
+    ordered += [n for n in _QUERIES if n not in set(_R05_WINDOW)]
     _QUERIES = {n: _QUERIES[n] for n in ordered}
     _ORACLES = {n: _ORACLES[n] for n in ordered if n in _ORACLES}
     _LOADED = True
