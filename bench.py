@@ -224,10 +224,10 @@ def run_bench() -> dict:
     )
     timings["kg_kcore_dataset_regime"] = time.time() - t0
 
-    import numpy as _np
+    from ntto_ray.stages.graph import first_subjects
 
     edges = run_kg_pipeline(SF_DIR).select_columns(["subj", "obj"]).materialize()
-    seeds = _np.array(sorted(edges.unique("subj"))[:8])
+    seeds = first_subjects(edges, 8)
     t0 = time.time()
     khop_distances(edges, seeds, k=4, fold_edges=0, max_driver_nodes=0)
     timings["kg_khop_dataset_regime"] = time.time() - t0

@@ -174,8 +174,17 @@ def dedup_priority_keep(sf_dir: str):
         hit = np.isin(ids, m)
         if not hit.any():
             return out.empty_table()
-        src = t["source"].to_numpy(zero_copy_only=False)[hit]
-        prio = np.array([int(s[3:]) for s in src], dtype=np.int64)
+        src = pc.filter(t["source"], pa.array(hit))
+        # fixture contract: source == 'src' || N (mirrors the oracle's
+        # substr(source, 4)); validate so a fixture/schema change fails
+        # with a clear error, not a mid-pipeline cast failure
+        if not pc.min(pc.match_substring_regex(src, r"^src\d+$")).as_py():
+            raise ValueError(
+                "dedup_priority_keep: source values must look like 'srcN'"
+            )
+        prio = pc.cast(pc.utf8_slice_codeunits(src, 3), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
         return pa.table({"doc_id": ids[hit], "prio": prio})
 
     srcs = (
@@ -684,9 +693,9 @@ def kg_incremental_canonical(sf_dir: str):
             if t.num_rows == 0:
                 return t
             # conv_id = 'conv-%08d' % doc_id
-            ids = np.array(
-                [int(c[5:]) for c in t["conv_id"].to_pylist()], dtype=np.int64
-            )
+            ids = pc.cast(
+                pc.utf8_slice_codeunits(t["conv_id"], 5), pa.int64()
+            ).to_numpy(zero_copy_only=False)
             m = (ids % 10 == 0) if keep_delta else (ids % 10 != 0)
             return t.filter(pa.array(m))
 

@@ -537,6 +537,12 @@ def _directed_pregel_fns(nparts: int, src_col: str, dst_col: str):
         src_idx = np.searchsorted(nodes, s).astype(np.int64)
         ud, dinv = np.unique(d, return_inverse=True)
         if len(ud):
+            # the (src_idx << 32) | dinv pack below needs both halves in
+            # range or the arc dedup silently corrupts — fail loudly
+            assert len(nodes) < 2**31 and len(ud) < 2**32, (
+                f"bucket too large for packed arc dedup: "
+                f"{len(nodes)} sources / {len(ud)} destinations"
+            )
             # dedupe parallel arcs — BFS expansion is idempotent
             code = (src_idx << np.int64(32)) | dinv.astype(np.int64)
             code = np.unique(code)
@@ -885,6 +891,11 @@ def _kcore_dataset(
         src_idx = np.searchsorted(nodes, s).astype(np.int64)
         ud, dinv = np.unique(d, return_inverse=True)
         if len(ud):
+            # same packed-arc bounds contract as the directed build
+            assert len(nodes) < 2**31 and len(ud) < 2**32, (
+                f"bucket too large for packed arc dedup: "
+                f"{len(nodes)} sources / {len(ud)} destinations"
+            )
             code = (src_idx << np.int64(32)) | dinv.astype(np.int64)
             code = np.unique(code)
             src_idx = (code >> np.int64(32)).astype(np.int64)
@@ -1543,8 +1554,12 @@ def multi_source_distances(
     if n_edges == 0:
         return out_schema.empty_table()
     fold = n_edges <= fold_edges
-    if not fold and 2 * n_edges > max_driver_nodes:
-        if _distinct_node_count(edges, src_col, dst_col) > max_driver_nodes:
+    # The driver-vector regime holds an (n × S) int16 matrix — 2·S bytes
+    # per node vs the ~8 the node-scale budget was calibrated for in
+    # pagerank_int — so scale the node cap by S before comparing.
+    ms_budget = max(1, (max_driver_nodes * 8) // (2 * S))
+    if not fold and 2 * n_edges > ms_budget:
+        if _distinct_node_count(edges, src_col, dst_col) > ms_budget:
             return _multi_source_dataset(
                 edges, seeds_arr, src_col=src_col, dst_col=dst_col, k=k
             )
