@@ -276,9 +276,10 @@ _BYTE = (
 )
 
 
-@register(
-    "media_decode_real",
-    oracle=f"""
+# Shared by media_decode_real (PPM payloads) and media_decode_png (PNG
+# payloads, filter type id%5): the decoded PIXELS are the same digest
+# tiling either way, so one oracle prices both decoders exactly.
+_DECODE_REAL_ORACLE = f"""
 WITH img AS (
   -- mirrors synth_media(real_images=True): pixels of image id are
   -- sha256(id-as-string) tiled to 8×(4+id%4)×3 bytes, PPM-encoded; the
@@ -307,8 +308,10 @@ SELECT media_id,
        CAST(CAST(sum(byte*byte) AS DOUBLE) / n - avg(byte)*avg(byte) AS FLOAT) AS f6,
        CAST(CAST(count(*) FILTER (byte > 127) AS DOUBLE) / n AS FLOAT) AS f7
 FROM b GROUP BY media_id, n
-""",
-)
+"""
+
+
+@register("media_decode_real", oracle=_DECODE_REAL_ORACLE)
 def media_decode_real(sf_dir: str):
     """REAL image decode (no image library): the media table's image
     payloads are valid binary-PPM files (synth_media real_images=True);
@@ -317,8 +320,23 @@ def media_decode_real(sf_dir: str):
     population variance, frac(>127) — computed double→float32, the same
     chain the DuckDB oracle runs over the mirrored digest bytes. The
     one formerly-stubbed stage now has a real, oracle-exact kernel;
-    compressed formats (PNG/JPEG) still raise (honest: no PIL/cv2
-    here)."""
+    JPEG still raises (honest: no PIL/cv2 here)."""
+    return _decode_real(sf_dir, codec="ppm")
+
+
+@register("media_decode_png", oracle=_DECODE_REAL_ORACLE)
+def media_decode_png(sf_dir: str):
+    """REAL compressed-image decode: the payloads are valid PNG files
+    (8-bit RGB, zlib IDAT, scanline filter type id % 5 so every
+    unfilter path — None/Sub/Up/Average/Paeth — runs), decoded by the
+    pure stdlib-zlib + numpy codec in stages/multimodal.py with chunk
+    CRCs verified. The decoded pixels equal the PPM variant's digest
+    tiling bit-for-bit, so the SAME pixel-statistics oracle gates both
+    decoders; only JPEG remains behind NotImplementedError."""
+    return _decode_real(sf_dir, codec="png")
+
+
+def _decode_real(sf_dir: str, *, codec: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -335,7 +353,7 @@ def media_decode_real(sf_dir: str):
             cols[f"f{j}"] = pc.list_element(feat, j)
         return pa.table(cols)
 
-    media = synth_media(sf_dir, real_images=True)
+    media = synth_media(sf_dir, real_images=True, image_codec=codec)
     return decode_features(media, fake=False).map_batches(
         flatten, batch_format="pyarrow"
     )

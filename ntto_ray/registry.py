@@ -112,11 +112,12 @@ _R05_WINDOW = [
     "kg_type_histogram",
     "kg_entity_merge_map",
     "kg_subgraph_export",
-    # rel remainder (4)
+    # rel remainder (3)
     "rel_grouping_sets",
     "rel_skyline",
     "rel_q7_trade_flow",
-    "rel_daily_active",
+    # new this round: pure-zlib+numpy PNG decode (VERDICT r04 #6)
+    "media_decode_png",
 ]
 
 

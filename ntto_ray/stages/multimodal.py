@@ -42,17 +42,23 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def synth_media(
-    sf_dir: str, *, per_event: int = 1, real_images: bool = False
+    sf_dir: str,
+    *,
+    per_event: int = 1,
+    real_images: bool = False,
+    image_codec: str = "ppm",
 ) -> ray.data.Dataset:
     """Deterministic fake media table derived from the events table:
     payload bytes are a hash-expansion of the event id (stable across
     runs). Stands in for a real binary-column Parquet source.
 
-    ``real_images=True`` replaces image payloads with REAL binary-PPM
-    (P6) files whose pixels are the same sha256 digest tiled to
-    8×(4+id%4)×3 bytes — small, valid images that ``DecodeImage``'s
-    real path decodes, still a pure function of the id so the decoded
-    pixel statistics are exactly SQL-mirrorable."""
+    ``real_images=True`` replaces image payloads with REAL image files
+    (binary-PPM, or PNG with ``image_codec="png"`` — filter type id%5,
+    so every unfilter path gets exercised) whose pixels are the same
+    sha256 digest tiled to 8×(4+id%4)×3 bytes — small, valid images
+    that ``DecodeImage``'s real path decodes, still a pure function of
+    the id so the decoded pixel statistics are exactly
+    SQL-mirrorable."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
 
     def mk(t: pa.Table) -> pa.Table:
@@ -69,13 +75,17 @@ def synth_media(
                 px = np.frombuffer(
                     (digest * (n // len(digest) + 1))[:n], dtype=np.uint8
                 ).reshape(ih, iw, 3)
-                payloads.append(encode_ppm(px))
+                if image_codec == "png":
+                    payloads.append(encode_png(px, filter_type=int(i) % 5))
+                else:
+                    payloads.append(encode_ppm(px))
             else:
                 payloads.append(digest * (4 + int(i) % 4))
+        img_mime = "image/png"
+        if real_images and image_codec != "png":
+            img_mime = "image/x-portable-pixmap"
         mimes = np.array(
-            ["image/x-portable-pixmap" if real_images else "image/png",
-             "audio/wav", "video/mp4"],
-            dtype=object,
+            [img_mime, "audio/wav", "video/mp4"], dtype=object
         )[ids % 3]
         w = (64 + (ids % 8) * 32).astype(np.int32)
         h = (64 + (ids % 5) * 32).astype(np.int32)
@@ -146,6 +156,144 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + pixel_data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG (8-bit, color type 2, non-interlaced),
+    stdlib ``zlib`` + numpy only. ``filter_type`` (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) is applied to EVERY scanline — the decoded
+    pixels are identical either way, so fixtures can exercise each
+    unfilter path."""
+    import struct
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    if filter_type not in range(5):
+        raise ValueError("filter_type must be 0..4")
+    h, w, _ = arr.shape
+    raw = arr.reshape(h, w * 3).astype(np.int64)
+    prev = np.zeros(w * 3, dtype=np.int64)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.r_[np.zeros(3, np.int64), cur[:-3]]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth
+            ul = np.r_[np.zeros(3, np.int64), prev[:-3]]
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+            filt = cur - pred
+        lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure numpy + stdlib-``zlib`` PNG decode: 8-bit RGB (color type
+    2), non-interlaced. Chunk CRCs are verified. Per-scanline unfilter:
+    None/Up are one vectorized add, Sub is a modular cumsum over the
+    (w, 3) lanes; Average/Paeth carry the spec's left-neighbor data
+    dependency and run the per-pixel recurrence. Anything outside that
+    profile (palette, alpha, 16-bit, interlace) raises
+    NotImplementedError."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt_m, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (depth, ctype, comp, filt_m, interlace) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            "only 8-bit RGB (color type 2) non-interlaced PNG supported"
+        )
+    stride = w * 3
+    data = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    data = data.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft, row = data[y, 0], data[y, 1:]
+        if ft == 0:
+            rec = row.copy()
+        elif ft == 1:  # Sub: modular cumsum over the 3 byte lanes
+            rec = np.cumsum(
+                row.reshape(w, 3), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ft == 2:  # Up
+            rec = row + prev
+        elif ft in (3, 4):  # left-neighbor recurrence — per-pixel
+            rec = np.empty(stride, dtype=np.uint8)
+            pr = prev.astype(np.int64)
+            rw = row.astype(np.int64)
+            for x in range(stride):
+                a = int(rec[x - 3]) if x >= 3 else 0
+                b = int(pr[x])
+                if ft == 3:
+                    rec[x] = (rw[x] + (a + b) // 2) % 256
+                else:
+                    c = int(pr[x - 3]) if x >= 3 else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa_ <= pb and pa_ <= pc_ else (b if pb <= pc_ else c)
+                    rec[x] = (rw[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, 3)
+
+
 def _decode_ppm(payload: bytes) -> np.ndarray:
     # header = "P6" ws width ws height ws maxval single-ws, then raw RGB;
     # '#' comments may appear inside the whitespace runs.
@@ -192,16 +340,18 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_image_array(payload: bytes) -> np.ndarray:
-    """Pure-numpy decode of PPM (P6) / 24-bit BMP → (h, w, 3) uint8.
-    Raises NotImplementedError for any other format (PNG/JPEG need a
-    real image library, absent in this container)."""
+    """Pure-numpy decode of PPM (P6) / 24-bit BMP / 8-bit-RGB PNG →
+    (h, w, 3) uint8. Raises NotImplementedError for any other format
+    (JPEG needs a real image library, absent in this container)."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "unsupported image format (only PPM P6 / 24-bit BMP decode "
-        "without an image library; install PIL/cv2 for compressed formats)"
+        "unsupported image format (PPM P6 / 24-bit BMP / 8-bit RGB PNG "
+        "decode without an image library; install PIL/cv2 for JPEG)"
     )
 
 

@@ -184,11 +184,18 @@ def test_image_codec_roundtrip():
         encode_ppm,
     )
 
+    from ntto_ray.stages.multimodal import encode_png
+
     rng = np.random.default_rng(42)
     for h, w in [(1, 1), (3, 5), (4, 8), (7, 3)]:
         arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         assert (decode_image_array(encode_ppm(arr)) == arr).all()
         assert (decode_image_array(encode_bmp(arr)) == arr).all()
+        # PNG: every scanline filter type decodes to the same pixels
+        for ft in range(5):
+            assert (
+                decode_image_array(encode_png(arr, filter_type=ft)) == arr
+            ).all()
 
     # PPM with a header comment
     arr = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
