@@ -71,6 +71,158 @@ class UnconvergedComponentsError(RuntimeError):
     returning the partial labels would silently split real components."""
 
 
+def _run_pregel(
+    edges: ray.data.Dataset,
+    *,
+    nparts: int,
+    split_fn,
+    build_fn,
+    init_fn,
+    push_fn,
+    apply_fn,
+    emit_fn,
+    rounds: int,
+    empty_result: pa.Table,
+    sort_by=None,
+    round_arg: bool = False,
+    convergence: str | None = "apply",
+    on_unconverged=None,
+) -> pa.Table:
+    """THE static-partition Pregel scaffold (Malewicz et al., SIGMOD'10)
+    shared by every dataset-labels graph engine here — raw Ray tasks,
+    the repo's documented last resort, because an iterative fixed-point
+    over a STATIC co-partitioned side is the one shape the Dataset API
+    can't express (Datasets carry no partitioning metadata across
+    operations; the old tag-union formulation re-shuffled the full edge
+    set twice per round). Edge blocks split into ``nparts`` bucket
+    pieces exactly ONCE; after that only node-scale messages move.
+
+    Callback contract (each runs as a 1-CPU Ray task; bucket state and
+    the P×P message grid live in the object store — the driver holds
+    only refs plus one int per bucket per round):
+
+    * ``split_fn(block) -> tuple[P pieces]`` — route one edge block's
+      contents to their owner buckets.
+    * ``build_fn(*pieces) -> pack`` — assemble one bucket's static
+      side (node vector, deduped arc routing, per-target slices).
+    * ``init_fn(pack) -> state`` — the bucket's round-0 state.
+    * ``push_fn(pack, state[, r]) -> tuple[P messages]`` (or, with
+      ``convergence="push"``, ``(new_state, count, *P messages)``) —
+      one superstep's send side.
+    * ``apply_fn(pack, state[, r], *messages) -> (state, count)``
+      (``convergence="apply"``) or ``-> state``
+      (``convergence=None``) — fold the ≤P inbound messages.
+    * ``emit_fn(pack, state) -> pa.Table`` — the bucket's result rows.
+
+    Convergence modes: ``"apply"`` stops when the apply-side counts sum
+    to 0 (components' changed-labels, BFS's newly-reached); ``"push"``
+    checks the push-side count BEFORE apply runs (k-core's kills — no
+    kill ⇒ fixpoint, the decrements can be skipped); ``None`` runs
+    exactly ``rounds`` supersteps (pagerank). ``round_arg=True`` passes
+    the superstep index to push/apply (BFS engines, where the round IS
+    the distance). If the round budget runs out before a fixpoint,
+    ``on_unconverged`` (when given) is called to raise; otherwise the
+    last state is emitted (k-core's bounded-round contract)."""
+    split_r = ray.remote(num_cpus=1)(split_fn)
+    build_r = ray.remote(num_cpus=1)(build_fn)
+    init_r = ray.remote(num_cpus=1)(init_fn)
+    push_r = ray.remote(num_cpus=1)(push_fn)
+    apply_r = ray.remote(num_cpus=1)(apply_fn)
+    emit_r = ray.remote(num_cpus=1)(emit_fn)
+
+    block_refs = []
+    for bundle in edges.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    if not block_refs:
+        return empty_result
+
+    split_out = [
+        split_r.options(num_returns=nparts).remote(ref) for ref in block_refs
+    ]
+    packs = [
+        build_r.remote(*[so[b] for so in split_out]) for b in range(nparts)
+    ]
+    states = [init_r.remote(p) for p in packs]
+    converged = convergence is None
+    for r in range(rounds):
+        extra = (r,) if round_arg else ()
+        if convergence == "push":
+            # push returns 2 + nparts objects: new_state, count, msg_0…
+            # — the driver ray.gets ONLY the count ints (state stays
+            # remote); no count ⇒ fixpoint, apply is skipped entirely
+            pushed = [
+                push_r.options(num_returns=nparts + 2).remote(
+                    packs[b], states[b], *extra
+                )
+                for b in range(nparts)
+            ]
+            states = [p[0] for p in pushed]
+            if sum(ray.get([p[1] for p in pushed])) == 0:
+                converged = True
+                break
+            states = [
+                apply_r.remote(
+                    packs[tb],
+                    states[tb],
+                    *extra,
+                    *[pushed[sb][tb + 2] for sb in range(nparts)],
+                )
+                for tb in range(nparts)
+            ]
+            continue
+        msgs = [
+            push_r.options(num_returns=nparts).remote(
+                packs[b], states[b], *extra
+            )
+            for b in range(nparts)
+        ]
+        if convergence == "apply":
+            outs = [
+                apply_r.options(num_returns=2).remote(
+                    packs[tb],
+                    states[tb],
+                    *extra,
+                    *[msgs[sb][tb] for sb in range(nparts)],
+                )
+                for tb in range(nparts)
+            ]
+            states = [o[0] for o in outs]
+            if sum(ray.get([o[1] for o in outs])) == 0:
+                converged = True
+                break
+        else:
+            states = [
+                apply_r.remote(
+                    packs[tb],
+                    states[tb],
+                    *extra,
+                    *[msgs[sb][tb] for sb in range(nparts)],
+                )
+                for tb in range(nparts)
+            ]
+    if not converged and on_unconverged is not None:
+        on_unconverged()
+    out = pa.concat_tables(
+        ray.get([emit_r.remote(packs[b], states[b]) for b in range(nparts)])
+    )
+    return out.sort_by(sort_by) if sort_by is not None else out
+
+
+def _str_bucketer(nparts: int):
+    """Owner bucket per string node: first poly hash, uint64 bit-view,
+    mod P. Bucket choice never affects results (folds are order-free),
+    only placement. Shared by every string-node Pregel engine."""
+    from ntto_ray.stages.dedup import poly_content_hashes
+
+    def _bucket_of(col) -> np.ndarray:
+        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+            col = pa.array(col, pa.string())
+        h1, _ = poly_content_hashes(col)
+        return (h1.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
+
+    return _bucket_of
+
+
 def _components_unionfind(
     a: np.ndarray, b: np.ndarray
 ) -> pa.Table:
@@ -231,8 +383,8 @@ def _components_dataset(
     b_col: str,
     max_rounds: int,
 ) -> pa.Table:
-    """Dataset-labels regime as a static-partition Pregel engine (same
-    design as :func:`_pagerank_dataset`, which documents the why-raw-Ray
+    """Dataset-labels regime on the shared static-partition Pregel
+    scaffold (:func:`_run_pregel`, which documents the why-raw-Ray
     rationale): the undirected edge list is hash-bucketed by endpoint
     exactly ONCE; each min-label round ships only node-scale label
     messages between buckets, with the classic DELTA optimization — a
@@ -354,49 +506,31 @@ def _components_dataset(
     def _emit_fn(pack, state):
         return pa.table({"doc_id": pack["nodes"], "component": state[0]})
 
-    split_r = ray.remote(num_cpus=1)(_split_fn)
-    build_r = ray.remote(num_cpus=1)(_build_fn)
-    init_r = ray.remote(num_cpus=1)(_init_fn)
-    push_r = ray.remote(num_cpus=1)(_push_fn)
-    apply_r = ray.remote(num_cpus=1)(_apply_fn)
-    emit_r = ray.remote(num_cpus=1)(_emit_fn)
-
-    block_refs = []
-    for bundle in edges.iter_internal_ref_bundles():
-        block_refs.extend(bundle.block_refs)
-    if not block_refs:
-        return pa.table(
-            {"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+    def _unconverged():
+        raise UnconvergedComponentsError(
+            f"no fixpoint after {max_rounds} rounds — component diameter "
+            f"exceeds max_rounds; raise max_rounds for chain-like graphs"
         )
 
-    split_out = [
-        split_r.options(num_returns=nparts).remote(ref) for ref in block_refs
-    ]
-    packs = [
-        build_r.remote(*[so[b] for so in split_out]) for b in range(nparts)
-    ]
-    states = [init_r.remote(p) for p in packs]
-    for _ in range(max_rounds):
-        msgs = [
-            push_r.options(num_returns=nparts).remote(packs[b], states[b])
-            for b in range(nparts)
-        ]
-        outs = [
-            apply_r.options(num_returns=2).remote(
-                packs[tb], states[tb], *[msgs[sb][tb] for sb in range(nparts)]
-            )
-            for tb in range(nparts)
-        ]
-        states = [o[0] for o in outs]
-        if sum(ray.get([o[1] for o in outs])) == 0:
-            return pa.concat_tables(
-                ray.get(
-                    [emit_r.remote(packs[b], states[b]) for b in range(nparts)]
-                )
-            ).sort_by("doc_id")
-    raise UnconvergedComponentsError(
-        f"no fixpoint after {max_rounds} rounds — component diameter "
-        f"exceeds max_rounds; raise max_rounds for chain-like graphs"
+    return _run_pregel(
+        edges,
+        nparts=nparts,
+        split_fn=_split_fn,
+        build_fn=_build_fn,
+        init_fn=_init_fn,
+        push_fn=_push_fn,
+        apply_fn=_apply_fn,
+        emit_fn=_emit_fn,
+        rounds=max_rounds,
+        empty_result=pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "component": pa.array([], pa.int64()),
+            }
+        ),
+        sort_by="doc_id",
+        convergence="apply",
+        on_unconverged=_unconverged,
     )
 
 
@@ -491,16 +625,9 @@ def _directed_pregel_fns(nparts: int, src_col: str, dst_col: str):
     the per-bucket build produces the node vector, globally-distinct
     arcs (BFS expansion is idempotent, so parallel arcs collapse), the
     destination grouping, and per-target-bucket slice bounds."""
-    from ntto_ray.stages.dedup import poly_content_hashes
-
     _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
     _NODE = pa.schema([("node", pa.string())])
-
-    def _bucket_of(col) -> np.ndarray:
-        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
-            col = pa.array(col, pa.string())
-        h1, _ = poly_content_hashes(col)
-        return (h1.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
+    _bucket_of = _str_bucketer(nparts)
 
     def _split_fn(block):
         if not isinstance(block, pa.Table):
@@ -577,7 +704,7 @@ def _khop_dataset(
     k: int,
 ) -> pa.Table:
     """Dataset-labels regime as a static-partition Pregel engine (design
-    and why-raw-Ray rationale: :func:`_pagerank_dataset`): directed
+    and why-raw-Ray rationale: :func:`_run_pregel`): directed
     edges bucket by SOURCE once (deduped — BFS only needs distinct
     arcs); the per-bucket distance vector starts at −1 with seeds at 0;
     round r pushes the frontier (dist == r) along the precomputed
@@ -636,43 +763,21 @@ def _khop_dataset(
             }
         )
 
-    split_r = ray.remote(num_cpus=1)(_split_fn)
-    build_r = ray.remote(num_cpus=1)(_build_fn)
-    init_r = ray.remote(num_cpus=1)(_init_fn)
-    push_r = ray.remote(num_cpus=1)(_push_fn)
-    apply_r = ray.remote(num_cpus=1)(_apply_fn)
-    emit_r = ray.remote(num_cpus=1)(_emit_fn)
-
-    block_refs = []
-    for bundle in edges.iter_internal_ref_bundles():
-        block_refs.extend(bundle.block_refs)
-    if not block_refs:
-        return out_schema.empty_table()
-
-    split_out = [
-        split_r.options(num_returns=nparts).remote(ref) for ref in block_refs
-    ]
-    packs = [
-        build_r.remote(*[so[b] for so in split_out]) for b in range(nparts)
-    ]
-    dists = [init_r.remote(p) for p in packs]
-    for r in range(k):
-        msgs = [
-            push_r.options(num_returns=nparts).remote(packs[b], dists[b], r)
-            for b in range(nparts)
-        ]
-        outs = [
-            apply_r.options(num_returns=2).remote(
-                packs[tb], dists[tb], r, *[msgs[sb][tb] for sb in range(nparts)]
-            )
-            for tb in range(nparts)
-        ]
-        dists = [o[0] for o in outs]
-        if sum(ray.get([o[1] for o in outs])) == 0:
-            break
-    return pa.concat_tables(
-        ray.get([emit_r.remote(packs[b], dists[b]) for b in range(nparts)])
-    ).sort_by("node")
+    return _run_pregel(
+        edges,
+        nparts=nparts,
+        split_fn=_split_fn,
+        build_fn=_build_fn,
+        init_fn=_init_fn,
+        push_fn=_push_fn,
+        apply_fn=_apply_fn,
+        emit_fn=_emit_fn,
+        rounds=k,
+        empty_result=out_schema.empty_table(),
+        sort_by="node",
+        round_arg=True,
+        convergence="apply",
+    )
 
 
 def kcore_peel(
@@ -825,7 +930,7 @@ def _kcore_dataset(
     rounds: int,
 ) -> pa.Table:
     """Dataset-labels regime as a static-partition Pregel engine (design
-    and why-raw-Ray rationale: :func:`_pagerank_dataset`): the
+    and why-raw-Ray rationale: :func:`_run_pregel`): the
     undirected simple projection buckets by endpoint once — both
     directions are emitted, self-loops dropped, and the per-bucket
     dedupe IS the global dedupe (every copy of arc u→v lands in
@@ -839,18 +944,12 @@ def _kcore_dataset(
     kills nothing (fixpoint — identical result to running all
     ``rounds``). Returns the alive node list, matching the
     driver-vector regime and the unrolled SQL mirror bit-for-bit."""
-    from ntto_ray.stages.dedup import poly_content_hashes
     from ntto_ray.stages.exchange import shuffle_parallelism
 
     nparts = max(2, shuffle_parallelism())
 
     _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
-
-    def _bucket_of(col) -> np.ndarray:
-        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
-            col = pa.array(col, pa.string())
-        h1, _ = poly_content_hashes(col)
-        return (h1.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
+    _bucket_of = _str_bucketer(nparts)
 
     def _split_fn(block):
         """Both directions of each non-self edge, bucketed by the
@@ -961,49 +1060,22 @@ def _kcore_dataset(
             {"node": pa.array(pack["nodes"][alive].tolist(), pa.string())}
         )
 
-    split_r = ray.remote(num_cpus=1)(_split_fn)
-    build_r = ray.remote(num_cpus=1)(_build_fn)
-    init_r = ray.remote(num_cpus=1)(_init_fn)
-    push_r = ray.remote(num_cpus=1)(_push_fn)
-    apply_r = ray.remote(num_cpus=1)(_apply_fn)
-    emit_r = ray.remote(num_cpus=1)(_emit_fn)
-
-    block_refs = []
-    for bundle in edges.iter_internal_ref_bundles():
-        block_refs.extend(bundle.block_refs)
-    if not block_refs:
-        return pa.table({"node": pa.array([], pa.string())})
-
-    split_out = [
-        split_r.options(num_returns=nparts).remote(ref) for ref in block_refs
-    ]
-    packs = [
-        build_r.remote(*[so[b] for so in split_out]) for b in range(nparts)
-    ]
-    states = [init_r.remote(p) for p in packs]
-    for _ in range(rounds):
-        # push returns 2 + nparts objects: new_state, n_dead, msg_0.. —
-        # the driver ray.gets ONLY the n_dead ints (state stays remote)
-        pushed = [
-            push_r.options(num_returns=nparts + 2).remote(packs[b], states[b])
-            for b in range(nparts)
-        ]
-        states_mid = [p[0] for p in pushed]
-        if sum(ray.get([p[1] for p in pushed])) == 0:
-            states = states_mid
-            break  # monotone alive set: no kill ⇒ fixpoint
-        states = [
-            apply_r.remote(
-                packs[tb],
-                states_mid[tb],
-                *[pushed[sb][tb + 2] for sb in range(nparts)],
-            )
-            for tb in range(nparts)
-        ]
-
-    return pa.concat_tables(
-        ray.get([emit_r.remote(packs[b], states[b]) for b in range(nparts)])
-    ).sort_by("node")
+    # convergence="push": the kill count is known on the send side, so a
+    # kill-free round (monotone alive set ⇒ fixpoint) skips apply
+    return _run_pregel(
+        edges,
+        nparts=nparts,
+        split_fn=_split_fn,
+        build_fn=_build_fn,
+        init_fn=_init_fn,
+        push_fn=_push_fn,
+        apply_fn=_apply_fn,
+        emit_fn=_emit_fn,
+        rounds=rounds,
+        empty_result=pa.table({"node": pa.array([], pa.string())}),
+        sort_by="node",
+        convergence="push",
+    )
 
 
 def _nodes_driver(edges, src_col, dst_col, *, fold: bool) -> np.ndarray:
@@ -1219,7 +1291,6 @@ def _pagerank_dataset(
     anyway). Integer arithmetic → bit-identical to the driver-vector
     regime under any fold order (tests pin the regimes against each
     other)."""
-    from ntto_ray.stages.dedup import poly_content_hashes
     from ntto_ray.stages.exchange import shuffle_parallelism
 
     nparts = max(2, shuffle_parallelism())  # num_returns=1 would unwrap
@@ -1242,15 +1313,7 @@ def _pagerank_dataset(
 
     _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
     _NODE = pa.schema([("node", pa.string()), ("od", pa.int64())])
-
-    def _bucket_of(col) -> np.ndarray:
-        """Owner bucket per string: first poly hash, uint64 bit-view,
-        mod P. Bucket choice never affects results (integer fold is
-        order-free), only placement."""
-        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
-            col = pa.array(col, pa.string())
-        h1, _ = poly_content_hashes(col)
-        return (h1.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
+    _bucket_of = _str_bucketer(nparts)
 
     def _split_fn(block):
         """Edge block → P pieces: bucket b gets (its out-edges, its
@@ -1343,7 +1406,9 @@ def _pagerank_dataset(
             for i in range(nparts)
         )
 
-    def _apply_fn(pack, *messages):
+    def _apply_fn(pack, _pr, *messages):
+        # the new rank is a pure function of the inbound messages — the
+        # previous state arg exists only for the shared engine signature
         nodes = pack["nodes"]
         s = np.zeros(len(nodes), dtype=np.int64)
         for names, vals in messages:
@@ -1362,40 +1427,20 @@ def _pagerank_dataset(
             }
         )
 
-    split_r = ray.remote(num_cpus=1)(_split_fn)
-    build_r = ray.remote(num_cpus=1)(_build_fn)
-    init_r = ray.remote(num_cpus=1)(_init_fn)
-    push_r = ray.remote(num_cpus=1)(_push_fn)
-    apply_r = ray.remote(num_cpus=1)(_apply_fn)
-    emit_r = ray.remote(num_cpus=1)(_emit_fn)
-
-    block_refs = []
-    for bundle in edges.iter_internal_ref_bundles():
-        block_refs.extend(bundle.block_refs)
-    if not block_refs:
-        return pa.table(
+    return _run_pregel(
+        edges,
+        nparts=nparts,
+        split_fn=_split_fn,
+        build_fn=_build_fn,
+        init_fn=_init_fn,
+        push_fn=_push_fn,
+        apply_fn=_apply_fn,
+        emit_fn=_emit_fn,
+        rounds=iterations,
+        empty_result=pa.table(
             {"node": pa.array([], pa.string()), "pr": pa.array([], pa.int64())}
-        )
-
-    split_out = [
-        split_r.options(num_returns=nparts).remote(ref) for ref in block_refs
-    ]
-    packs = [
-        build_r.remote(*[so[b] for so in split_out]) for b in range(nparts)
-    ]
-    prs = [init_r.remote(p) for p in packs]
-    for _ in range(iterations):
-        msgs = [
-            push_r.options(num_returns=nparts).remote(packs[b], prs[b])
-            for b in range(nparts)
-        ]
-        prs = [
-            apply_r.remote(packs[tb], *[msgs[sb][tb] for sb in range(nparts)])
-            for tb in range(nparts)
-        ]
-
-    return pa.concat_tables(
-        ray.get([emit_r.remote(packs[b], prs[b]) for b in range(nparts)])
+        ),
+        convergence=None,
     )
 
 
@@ -1730,43 +1775,21 @@ def _multi_source_dataset(
             }
         )
 
-    split_r = ray.remote(num_cpus=1)(_split_fn)
-    build_r = ray.remote(num_cpus=1)(_build_fn)
-    init_r = ray.remote(num_cpus=1)(_init_fn)
-    push_r = ray.remote(num_cpus=1)(_push_fn)
-    apply_r = ray.remote(num_cpus=1)(_apply_fn)
-    emit_r = ray.remote(num_cpus=1)(_emit_fn)
-
-    block_refs = []
-    for bundle in edges.iter_internal_ref_bundles():
-        block_refs.extend(bundle.block_refs)
-    if not block_refs:
-        return out_schema.empty_table()
-
-    split_out = [
-        split_r.options(num_returns=nparts).remote(ref) for ref in block_refs
-    ]
-    packs = [
-        build_r.remote(*[so[b] for so in split_out]) for b in range(nparts)
-    ]
-    dists = [init_r.remote(p) for p in packs]
-    for r in range(k):
-        msgs = [
-            push_r.options(num_returns=nparts).remote(packs[b], dists[b], r)
-            for b in range(nparts)
-        ]
-        outs = [
-            apply_r.options(num_returns=2).remote(
-                packs[tb], dists[tb], r, *[msgs[sb][tb] for sb in range(nparts)]
-            )
-            for tb in range(nparts)
-        ]
-        dists = [o[0] for o in outs]
-        if sum(ray.get([o[1] for o in outs])) == 0:
-            break
-    return pa.concat_tables(
-        ray.get([emit_r.remote(packs[b], dists[b]) for b in range(nparts)])
-    ).sort_by([("seed", "ascending"), ("node", "ascending")])
+    return _run_pregel(
+        edges,
+        nparts=nparts,
+        split_fn=_split_fn,
+        build_fn=_build_fn,
+        init_fn=_init_fn,
+        push_fn=_push_fn,
+        apply_fn=_apply_fn,
+        emit_fn=_emit_fn,
+        rounds=k,
+        empty_result=out_schema.empty_table(),
+        sort_by=[("seed", "ascending"), ("node", "ascending")],
+        round_arg=True,
+        convergence="apply",
+    )
 
 
 def first_subjects(
