@@ -183,6 +183,10 @@ def run_bench() -> dict:
         "kg_harmonic_centrality",
         "dedup_blocking_quality",
         "kg_incremental_canonical",
+        # round-5 additions
+        "ann_sq8_topk",
+        "dedup_containment_pairs",
+        "media_decode_png",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)

@@ -591,27 +591,66 @@ def dedup_blocking_quality(sf_dir: str):
     completeness (recall of true pairs, in basis points) and the
     blocker's extra-pair count — the standard entity-resolution eval
     (Christen 2012). On a dup-heavy corpus the pair sets are NOT
-    result-scale, so neither side is ever collected: the intersection
-    is one pair-keyed distributed semi-join (both sides emit each pair
-    exactly once, so the semi-join count IS |exact ∩ lsh|) and only
-    three scalar counts reach the driver."""
+    result-scale, so neither side is ever collected: each side tags its
+    pairs, the union goes through ONE (doc_a, doc_b)-keyed group-safe
+    exchange, and per-partition counting of pairs seen from both sides
+    (each side emits every pair exactly once) folds to three scalar
+    counts on the driver — nothing pair-scale leaves the object
+    store."""
+    import ray
+
     from ntto_ray.stages.dedup import jaccard_pairs, minhash_lsh_pairs
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    # materialize() pins the pair blocks in the (spillable) object
-    # store so count + join don't re-run the pair pipelines; nothing
-    # is collected to the driver
-    ex = (
-        jaccard_pairs(docs, threshold_pct=90)
-        .select_columns(["doc_a", "doc_b"])
-        .materialize()
+    _T = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("src", pa.int64())]
     )
-    lsh = minhash_lsh_pairs(docs).select_columns(["doc_a", "doc_b"]).materialize()
+
+    def tagged(ds: ray.data.Dataset, tag: int) -> ray.data.Dataset:
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "doc_a" not in t.column_names:
+                return _T.empty_table()
+            return pa.table(
+                {
+                    "doc_a": t["doc_a"],
+                    "doc_b": t["doc_b"],
+                    "src": np.full(t.num_rows, tag, np.int64),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    # materialize() pins the pair blocks in the (spillable) object
+    # store so the count and the exchange don't re-run the pair
+    # pipelines; nothing is collected to the driver
+    ex = tagged(jaccard_pairs(docs, threshold_pct=90), 0).materialize()
+    lsh = tagged(minhash_lsh_pairs(docs), 1).materialize()
     n_ex = ex.count()
     n_lsh = lsh.count()
-    n_both = ex.join(
-        lsh, "left_semi", num_partitions=16, on=("doc_a", "doc_b")
-    ).count()
+
+    _N = pa.schema([("n", pa.int64())])
+
+    def count_both(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return _N.empty_table()
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        s = t["src"].to_numpy()
+        order = np.lexsort((s, b, a))
+        a, b, s = a[order], b[order], s[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        gid = np.cumsum(new) - 1
+        mn = np.full(gid[-1] + 1, 2, np.int64)
+        mx = np.full(gid[-1] + 1, -1, np.int64)
+        np.minimum.at(mn, gid, s)
+        np.maximum.at(mx, gid, s)
+        return pa.table({"n": [int(((mn == 0) & (mx == 1)).sum())]})
+
+    both_parts = hash_grouped(
+        ex.union(lsh), ["doc_a", "doc_b"], sort=False
+    ).map_batches(count_both, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS)
+    n_both = int(both_parts.to_pandas()["n"].sum())
     return pa.table(
         {
             "n_exact": pa.array([n_ex], pa.int64()),

@@ -144,6 +144,7 @@ def _load():
     from ntto_ray import queries_llm_ext5  # noqa: F401
     from ntto_ray import queries_round4  # noqa: F401
     from ntto_ray import queries_round4b  # noqa: F401
+    from ntto_ray import queries_round5  # noqa: F401
 
     # the window IS the driver-verification contract: a typo'd or
     # later-renamed entry must fail loudly, not silently shrink the

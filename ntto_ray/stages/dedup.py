@@ -978,3 +978,153 @@ def simhash_pairs(
     return grouped.map_batches(
         bucket_verify, batch_size=None, batch_format="pyarrow", **_NO_FUSE
     )
+
+
+# --- asymmetric containment join ---------------------------------------------
+
+_CONT_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("containment_pct", pa.int64()),
+    ]
+)
+
+
+def containment_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold_pct: int = 80,
+) -> ray.data.Dataset:
+    """All DIRECTED (a, b) doc pairs with token-set containment
+    |A∩B| / |A| ≥ τ — the asymmetric near-dup relation that catches
+    subset duplicates (a doc quoted whole inside a longer one), which
+    symmetric Jaccard misses when |B| ≫ |A|. Globally exact via the
+    asymmetric prefix filter (Chaudhuri et al., ICDE'06): the CONTAINED
+    side A emits its |A| − ceil(τ·|A|/100) + 1 smallest token hashes,
+    the CONTAINER side B emits ALL tokens (a containment probe gives
+    the index side no prefix bound — the price of asymmetry, stated
+    honestly: candidate groups are full-df-sized, not prefix-df), so
+    every qualifying pair shares an emitted A-prefix token with a
+    B-token. ONE groupby(token) exchange; each doc ships one row per
+    token with its packed sorted-set blob, A-role rows flagged by
+    position < prefix length.
+
+    In-group verify is one docs × group-vocabulary Gram (exact
+    intersections from the blobs) masked to (A-flagged row, any other
+    row) pairs with inter·100 ≥ τ·|A|; EMIT-ONCE ownership (the
+    jaccard_pairs rewrite, asymmetric form): the pair belongs to the
+    group of the minimum shared token t with t ∈ prefix(A) ∩ B, tested
+    by a second Gram of the below-τ-restricted prefix(A) × full(B)
+    incidences — output pairs are globally unique with no downstream
+    dedupe exchange. Integer compare throughout (no floats to drift
+    from the SQL mirror)."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks()
+        flat, offsets = _tokenize(texts)
+        h = _token_hashes(flat)
+        hs, off = _distinct_sorted_per_row(h, offsets)
+        ntok = np.diff(off)
+        ceil_tn = -((-(ntok * threshold_pct)) // 100)
+        p = np.clip(ntok - ceil_tn + 1, 1, ntok)
+        doc_ids = t["doc_id"].to_numpy()
+        # every token of every doc (the B role); the first p are also
+        # the A-role prefix
+        reps = ntok.astype(np.int64)
+        row_idx = np.repeat(np.arange(len(ntok)), reps)
+        within = np.arange(len(row_idx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        tok = hs[off[:-1][row_idx] + within]
+        is_pref = within < p[row_idx]
+        blobs = [hs[off[i] : off[i + 1]].tobytes() for i in range(len(ntok))]
+        return pa.table(
+            {
+                "tok": tok.view(np.int64),
+                "doc_id": doc_ids[row_idx],
+                "ntok": ntok[row_idx],
+                "pref": is_pref,
+                "toks": pa.array(blobs, type=pa.binary()).take(
+                    pa.array(row_idx, type=pa.int64())
+                ),
+            }
+        )
+
+    thr = int(threshold_pct)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return _CONT_SCHEMA.empty_table()
+        tok = t["tok"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        ntok = t["ntok"].to_numpy()
+        pref = t["pref"].to_numpy(zero_copy_only=False)
+        blobs = t["toks"].to_pylist()
+        out_a, out_b, out_c = [], [], []
+        starts, ends = _runs(tok)
+        for s, e in zip(starts, ends):
+            g = int(e - s)
+            if g < 2:
+                continue
+            order = np.argsort(doc[s:e], kind="stable")
+            ids = doc[s:e][order]
+            sz = ntok[s:e][order].astype(np.int64)
+            apref = pref[s:e][order]
+            if not apref.any():
+                continue
+            flat = np.frombuffer(
+                b"".join(blobs[s + int(i)] for i in order), dtype=_U
+            )
+            _, inv = np.unique(flat, return_inverse=True)
+            rows = np.repeat(np.arange(g, dtype=np.int64), sz)
+            u = int(inv.max()) + 1 if len(inv) else 0
+            dt = np.float32 if sz.max() < 2**24 else np.float64
+            B = np.zeros((g, u), dtype=dt)
+            B[rows, inv] = 1.0
+            # below-τ masks for emit-once ownership
+            ceil_tn = -((-(sz * thr)) // 100)
+            p = np.clip(sz - ceil_tn + 1, 1, sz)
+            doc_starts = np.r_[0, np.cumsum(sz)[:-1]]
+            pos_within = np.arange(len(flat), dtype=np.int64) - np.repeat(
+                doc_starts, sz
+            )
+            tau = _U(int(tok[s]) % (1 << 64))
+            below = flat < tau
+            pl = below & (pos_within < np.repeat(p, sz))
+            PL = np.zeros((g, u), dtype=dt)
+            PL[rows[pl], inv[pl]] = 1.0
+            FB = np.zeros((g, u), dtype=dt)
+            FB[rows[below], inv[below]] = 1.0
+            ai = np.flatnonzero(apref)  # candidate A rows only
+            inter = B[ai] @ B.T  # (na, g) exact intersections
+            shared_below = PL[ai] @ FB.T  # (na, g) ownership test
+            need = (thr * sz[ai])[:, None]
+            keep = (inter * 100.0 >= need) & (shared_below == 0)
+            keep[np.arange(len(ai)), ai] = False  # no self pair
+            rr, cc = np.nonzero(keep)
+            if len(rr) == 0:
+                continue
+            ia = ai[rr]
+            ic = inter[rr, cc].astype(np.int64)
+            out_a.append(ids[ia])
+            out_b.append(ids[cc])
+            out_c.append(ic * 100 // sz[ia])
+        if not out_a:
+            return _CONT_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_a).astype(np.int64)),
+                pa.array(np.concatenate(out_b).astype(np.int64)),
+                pa.array(np.concatenate(out_c).astype(np.int64)),
+            ],
+            schema=_CONT_SCHEMA,
+        )
+
+    grouped = _hash_grouped(
+        docs.map_batches(emit, batch_format="pyarrow"), ["tok"]
+    )
+    # emit-once ownership ⇒ globally-unique pairs; verify is the LAST op
+    return grouped.map_batches(
+        verify, batch_size=None, batch_format="pyarrow", **_NO_FUSE
+    )
