@@ -1079,7 +1079,9 @@ def containment_pairs(
             _, inv = np.unique(flat, return_inverse=True)
             rows = np.repeat(np.arange(g, dtype=np.int64), sz)
             u = int(inv.max()) + 1 if len(inv) else 0
-            dt = np.float32 if sz.max() < 2**24 else np.float64
+            # inter·100 must stay exact in the accumulator dtype
+            # (float32 holds ints to 2^24) — same guard as jaccard_pairs
+            dt = np.float32 if sz.max() * 100 < 2**24 else np.float64
             B = np.zeros((g, u), dtype=dt)
             B[rows, inv] = 1.0
             # below-τ masks for emit-once ownership
