@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "kg_incremental_canonical",
         # round-5 additions
         "ann_sq8_topk",
+        "ann_ivfsq8_topk",
         "dedup_containment_pairs",
         "media_decode_png",
     ):

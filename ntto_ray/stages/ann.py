@@ -1126,3 +1126,118 @@ def sq8_topk(
         )
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def ivf_sq8_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+) -> ray.data.Dataset:
+    """IVF + SQ8 composed ANN — coarse inverted lists bound WHICH
+    vectors a query touches (nprobe/nlist of the corpus), int8 scalar
+    quantization bounds the BYTES per touched vector (¼ of float32) —
+    the memory-bound middle ground of the IVF × {flat, PQ, SQ8} layout
+    matrix (Faiss ``IVF…,SQ8``). Coarse assignment runs on normalized
+    vectors (the shared deterministic spherical k-means,
+    :func:`_kmeans`); in-list ranking is the integer dot of raw-value
+    SQ8 codes (:func:`sq8_quantize`) — bit-deterministic, so the
+    composed chain has an exact SQL mirror. Centroids + per-dim stats +
+    quantized queries broadcast once; scan is batch matmul + masked
+    integer dots; one k-scale reduce."""
+    sample = (
+        embeddings.filter(expr=f"vec_id < {int(train_sample)}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cent = _kmeans(sm, nlist)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qn = _normalize(qm)
+    order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    mn, mx = sq8_train(embeddings)
+    qq = sq8_quantize(qm, mn, mx)
+    ref = ray.put(
+        (np.asarray(query_ids, dtype=np.int64), qq, cent, order, mn, mx)
+    )
+
+    class IVFSQ8Score:
+        def __init__(self, ref, k):
+            (
+                self.qids,
+                self.qq,
+                self.cent,
+                self.probe,
+                self.mn,
+                self.mx,
+            ) = ray.get(ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "embedding" not in t.column_names:
+                return pa.schema(
+                    [
+                        ("qid", pa.int64()),
+                        ("vec_id", pa.int64()),
+                        ("sim", pa.float64()),
+                    ]
+                ).empty_table()
+            raw = _emb_matrix(t)
+            assign = np.argmax(_normalize(raw) @ self.cent.T, axis=1)
+            codes = sq8_quantize(raw, self.mn, self.mx)
+            vec_ids = t["vec_id"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(assign, self.probe[qi])
+                if not mask.any():
+                    continue
+                dots = codes[mask] @ self.qq[qi]
+                vids = vec_ids[mask]
+                kk = min(self.k + 1, len(dots))
+                top = np.argpartition(-dots, kk - 1)[:kk]
+                for j in top:
+                    if vids[j] != qid:
+                        out_q.append(qid)
+                        out_v.append(int(vids[j]))
+                        out_s.append(float(dots[j]))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(np.array(out_q, dtype=np.int64)),
+                    pa.array(np.array(out_v, dtype=np.int64)),
+                    pa.array(np.array(out_s, dtype=np.float64)),
+                ],
+                names=["qid", "vec_id", "sim"],
+            )
+
+    cands = embeddings.map_batches(
+        IVFSQ8Score,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": ref, "k": k},
+    )
+    ranked = _topk_reduce(cands, k, with_sim=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("qid", pa.int64()),
+                    ("vec_id", pa.int64()),
+                    ("rank", pa.int64()),
+                    ("qdot", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "qid": t["qid"],
+                "vec_id": t["vec_id"],
+                "rank": t["rank"],
+                "qdot": pa.compute.cast(pa.compute.round(t["sim"]), pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
