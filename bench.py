@@ -187,7 +187,9 @@ def run_bench() -> dict:
         "ann_sq8_topk",
         "ann_ivfsq8_topk",
         "dedup_containment_pairs",
+        "dedup_containment_keep",
         "media_decode_png",
+        "rel_q3_shipping",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)

@@ -4,6 +4,8 @@ that no existing family covered —
 * ``ann_sq8_topk`` — int8 scalar-quantized similarity search (Faiss's
   ScalarQuantizer QT_8bit shape): 4× smaller index bytes, integer-dot
   scoring, per-dim min/max "codebook" trained in one streaming pass.
+* ``ann_ivfsq8_topk`` — IVF + SQ8 composed, completing the engine's
+  IVF × {flat, PQ, SQ8} layout matrix.
 * ``dedup_containment_pairs`` — ASYMMETRIC near-dup detection: token-set
   containment |A∩B| / |A| ≥ τ, which catches subset duplicates (quoted
   e-mails, boilerplate-wrapped reposts) that symmetric Jaccard misses.
@@ -12,15 +14,20 @@ that no existing family covered —
   side emits ALL tokens, so every qualifying pair shares an emitted
   token; candidates verify against packed full-signature blobs in ONE
   grouped exchange (the jaccard_pairs plan, asymmetric thresholds).
+* ``dedup_containment_keep`` — the decision layer over those pairs:
+  map every contained doc to its best container.
+* ``rel_q3_shipping`` — TPC-H Q3 (filter → two distributed hash joins
+  → grouped sum → k-scale top-10).
 
 Every query has an exact DuckDB oracle (integer scores / integer counts
-— no float-tie risk anywhere).
+— no float-tie risk anywhere; Q3's revenue is 4-decimal integer cents).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ntto_ray.queries_text import _ANN_QUERY_IDS, _emb, _query_matrix
 from ntto_ray.registry import register
@@ -178,3 +185,221 @@ def ann_ivfsq8_topk(sf_dir: str):
 from ntto_ray import registry as _registry  # noqa: E402
 
 _registry._ORACLES["ann_ivfsq8_topk"] = _ivfsq8_oracle()
+
+
+# --- TPC-H Q3: shipping-priority top orders -----------------------------------
+
+_Q3_CUT = "1998-03-15"
+
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUT}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUT}'
+GROUP BY 1, 3, 4
+ORDER BY revenue_c4 DESC, odate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("rel_q3_shipping", oracle=_Q3_ORACLE)
+def rel_q3_shipping(sf_dir: str):
+    """TPC-H Q3 (shipping priority): top-10 unshipped-revenue orders for
+    one market segment — the classic filter → two hash joins → grouped
+    sum → top-k chain. Scale shape: both joins are
+    ``copartition_inner_join`` (customer and orders grow with the fact
+    table — the fact-scale-dim rule); lineitem revenue pre-folds to one
+    (orderkey, rev) partial per block BEFORE its join; the final top-10
+    is a per-block partial top-k folded on the driver (k-scale, never
+    orders-scale). Revenue is exact 4-decimal integer cents; ties break
+    (odate, orderkey) ascending exactly like the SQL mirror."""
+    from datetime import datetime
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.queries_rel import _cents, _read
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, join_parallelism
+    from ntto_ray.stages.joins import copartition_inner_join
+
+    cut = datetime.fromisoformat(_Q3_CUT)
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_mktsegment"], "BUILDING")
+        return pa.table({"c_custkey": pc.filter(t["c_custkey"], keep)})
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(cust_prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["o_orderdate"], pa.scalar(cut))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "odate": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    orders = (
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        )
+        .map_batches(ord_prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_shipdate"], pa.scalar(cut))
+        t = t.filter(keep)
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(
+                pa.scalar(100, pa.int64()),
+                pc.cast(
+                    pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+                ),
+            ),
+        )
+        # per-block fold: one (orderkey, rev) partial per distinct key
+        k = t["l_orderkey"].to_numpy()
+        r = rev.to_numpy() if not isinstance(rev, pa.ChunkedArray) else rev.combine_chunks().to_numpy()
+        u, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, r)
+        return pa.table({"l_orderkey": u, "rev": s})
+
+    li = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    j1 = copartition_inner_join(
+        orders,
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        parallelism=join_parallelism(orders, cust),
+    ).materialize()
+    j2 = copartition_inner_join(
+        li,
+        j1,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        parallelism=join_parallelism(li, j1),
+    )
+
+    agg = j2.groupby(["l_orderkey", "odate", "o_orderpriority"]).aggregate(
+        Sum("rev", alias_name="revenue_c4")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("revenue_c4", pa.int64()),
+            ("odate", pa.string()),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+
+    def block_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "revenue_c4" not in t.column_names:
+            return out_schema.empty_table()
+        t = t.select(["l_orderkey", "revenue_c4", "odate", "o_orderpriority"])
+        idx = pa.compute.sort_indices(
+            t,
+            sort_keys=[
+                ("revenue_c4", "descending"),
+                ("odate", "ascending"),
+                ("l_orderkey", "ascending"),
+            ],
+        )[:10]
+        return t.take(idx).cast(out_schema)
+
+    parts = agg.map_batches(
+        block_top, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    ).to_pandas()  # ≤10 rows per aggregate partition — k-scale
+    if not len(parts):
+        return out_schema.empty_table()
+    parts = parts.sort_values(
+        ["revenue_c4", "odate", "l_orderkey"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).head(10)
+    return pa.Table.from_pandas(parts, schema=out_schema, preserve_index=False)
+
+
+_CONT_KEEP_ORACLE = f"""
+WITH p AS ({_CONT_ORACLE}),
+r AS (
+  SELECT doc_a, doc_b, containment_pct,
+         row_number() OVER (
+           PARTITION BY doc_a ORDER BY containment_pct DESC, doc_b ASC
+         ) AS rn
+  FROM p
+)
+SELECT doc_a, doc_b AS keep_doc, containment_pct FROM r WHERE rn = 1
+"""
+
+
+@register("dedup_containment_keep", oracle=_CONT_KEEP_ORACLE)
+def dedup_containment_keep(sf_dir: str):
+    """Containment-dedup DECISION layer: every doc that is ≥80%
+    contained in another doc maps to its best container (highest
+    containment, ties to the lowest container id) — the "drop the
+    quoted copy, keep the superset" rule a curation pipeline applies
+    after the asymmetric join. One doc_a-keyed group-safe exchange over
+    the (globally-unique) pair set; the argmax is a per-block
+    vectorized run kernel, so nothing beyond the decision table reaches
+    the driver."""
+    from ntto_ray.queries_text import _docs
+    from ntto_ray.stages.dedup import containment_pairs
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
+
+    pairs = containment_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold_pct=_CONT_THR
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("keep_doc", pa.int64()),
+            ("containment_pct", pa.int64()),
+        ]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return out_schema.empty_table()
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        p = t["containment_pct"].to_numpy()
+        order = np.lexsort((b, -p, a))
+        a, b, p = a[order], b[order], p[order]
+        first = np.r_[True, a[1:] != a[:-1]]
+        return pa.table(
+            {"doc_a": a[first], "keep_doc": b[first], "containment_pct": p[first]}
+        )
+
+    return hash_grouped(pairs, ["doc_a"], sort=False).map_batches(
+        pick, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    )
