@@ -368,10 +368,11 @@ def dedup_containment_keep(sf_dir: str):
     contained in another doc maps to its best container (highest
     containment, ties to the lowest container id) — the "drop the
     quoted copy, keep the superset" rule a curation pipeline applies
-    after the asymmetric join. One doc_a-keyed group-safe exchange over
-    the (globally-unique) pair set; the argmax is a per-block
-    vectorized run kernel, so nothing beyond the decision table reaches
-    the driver."""
+    after the asymmetric join. The argmax folds TWICE: once per block
+    BEFORE the exchange (the shuffle ships one candidate per (block,
+    doc) instead of the full dup-rate-scale pair set) and once after
+    the doc_a-keyed group-safe exchange; nothing beyond the decision
+    table reaches the driver."""
     from ntto_ray.queries_text import _docs
     from ntto_ray.stages.dedup import containment_pairs
     from ntto_ray.stages.exchange import NO_FUSE_ARGS, hash_grouped, runs
@@ -387,11 +388,11 @@ def dedup_containment_keep(sf_dir: str):
         ]
     )
 
-    def pick(t: pa.Table) -> pa.Table:
+    def pick(t: pa.Table, b_col: str) -> pa.Table:
         if t.num_rows == 0 or "doc_a" not in t.column_names:
             return out_schema.empty_table()
         a = t["doc_a"].to_numpy()
-        b = t["doc_b"].to_numpy()
+        b = t[b_col].to_numpy()
         p = t["containment_pct"].to_numpy()
         order = np.lexsort((b, -p, a))
         a, b, p = a[order], b[order], p[order]
@@ -400,6 +401,12 @@ def dedup_containment_keep(sf_dir: str):
             {"doc_a": a[first], "keep_doc": b[first], "containment_pct": p[first]}
         )
 
-    return hash_grouped(pairs, ["doc_a"], sort=False).map_batches(
-        pick, batch_size=None, batch_format="pyarrow", **NO_FUSE_ARGS
+    partial = pairs.map_batches(
+        lambda t: pick(t, "doc_b"), batch_format="pyarrow"
+    )
+    return hash_grouped(partial, ["doc_a"], sort=False).map_batches(
+        lambda t: pick(t, "keep_doc"),
+        batch_size=None,
+        batch_format="pyarrow",
+        **NO_FUSE_ARGS,
     )
