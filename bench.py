@@ -190,6 +190,7 @@ def run_bench() -> dict:
         "dedup_containment_keep",
         "media_decode_png",
         "rel_q3_shipping",
+        "rel_q5_local_volume",
     ):
         t0 = time.time()
         res = q[name](SF_DIR)

@@ -18,6 +18,8 @@ that no existing family covered —
   map every contained doc to its best container.
 * ``rel_q3_shipping`` — TPC-H Q3 (filter → two distributed hash joins
   → grouped sum → k-scale top-10).
+* ``rel_q5_local_volume`` — TPC-H Q5 (the 6-table local-supplier
+  chain: constant dims folded map-side, three fact-scale joins).
 
 Every query has an exact DuckDB oracle (integer scores / integer counts
 — no float-tie risk anywhere; Q3's revenue is 4-decimal integer cents).
@@ -409,4 +411,181 @@ def dedup_containment_keep(sf_dir: str):
         batch_size=None,
         batch_format="pyarrow",
         **NO_FUSE_ARGS,
+    )
+
+
+# --- TPC-H Q5: local supplier volume ------------------------------------------
+
+_Q5_LO, _Q5_HI = "1996-01-01", "1997-01-01"
+
+_Q5_ORACLE = f"""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '{_Q5_LO}'
+  AND o.o_orderdate < TIMESTAMP '{_Q5_HI}'
+GROUP BY 1
+"""
+
+
+@register("rel_q5_local_volume", oracle=_Q5_ORACLE)
+def rel_q5_local_volume(sf_dir: str):
+    """TPC-H Q5 (local supplier volume): revenue per ASIA nation where
+    the supplier and the customer share the nation — the 6-table chain.
+    Scale shape: region⋈nation is a constant ≤25-row lookup folded
+    map-side into supplier (broadcast, the small-side rule); the three
+    fact-scale joins (lineitem⋈supplier, ⋈orders, ⋈customer) are
+    ``copartition_inner_join``s with the date filter pushed into the
+    orders scan and the local-supplier predicate applied the moment
+    both nation keys co-reside; only the ≤nations-row aggregate leaves
+    the last stage. Integer-cents revenue (queries_rel exactness
+    discipline)."""
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ntto_ray.queries_rel import _cents, _read
+    from ntto_ray.stages.exchange import NO_FUSE_ARGS, join_parallelism
+    from ntto_ray.stages.joins import copartition_inner_join
+
+    lo = datetime.fromisoformat(_Q5_LO)
+    hi = datetime.fromisoformat(_Q5_HI)
+
+    # constant dims: nation ⋈ region, filtered to ASIA — a ≤25-entry
+    # map folded into the supplier scan (broadcast via closure capture;
+    # pandas/pyarrow driver read of two tiny files, never a shuffle)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia = set(reg[reg["r_name"] == "ASIA"]["r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(asia)]
+    nkey_to_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    asia_nations = np.array(sorted(nkey_to_name), dtype=np.int64)
+
+    def supp_prep(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t["s_nationkey"], pa.int64())
+        keep = pc.is_in(nk, value_set=pa.array(asia_nations))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        )
+
+    supp = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(supp_prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(
+                pa.scalar(100, pa.int64()),
+                pc.cast(
+                    pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+                ),
+            ),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "rev": rev,
+            }
+        )
+
+    li = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_prep, batch_format="pyarrow")
+        .materialize()
+    )
+    j1 = copartition_inner_join(
+        li, supp, on="l_suppkey", right_on="s_suppkey",
+        parallelism=join_parallelism(li, supp),
+    ).materialize()
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}
+        )
+
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ord_prep, batch_format="pyarrow")
+        .materialize()
+    )
+    j2 = copartition_inner_join(
+        j1, orders, on="l_orderkey", right_on="o_orderkey",
+        parallelism=join_parallelism(j1, orders),
+    ).materialize()
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nat": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        )
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(cust_prep, batch_format="pyarrow")
+        .materialize()
+    )
+    j3 = copartition_inner_join(
+        j2, cust, on="o_custkey", right_on="c_custkey",
+        parallelism=join_parallelism(j2, cust),
+    )
+
+    _P = pa.schema([("n_name", pa.string()), ("rev", pa.int64())])
+
+    def local_fold(t: pa.Table) -> pa.Table:
+        """Apply the local-supplier predicate and fold to a ≤nations
+        partial the moment both nation keys co-reside in the block."""
+        if t.num_rows == 0 or "s_nat" not in t.column_names:
+            return _P.empty_table()
+        sn = t["s_nat"].to_numpy()
+        cn = t["c_nat"].to_numpy()
+        keep = sn == cn
+        if not keep.any():
+            return _P.empty_table()
+        sn = sn[keep]
+        rv = t["rev"].to_numpy()[keep]
+        u, inv = np.unique(sn, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, rv)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nkey_to_name[int(k)] for k in u], pa.string()
+                ),
+                "rev": s,
+            }
+        )
+
+    return (
+        j3.map_batches(local_fold, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue_c4"))
     )
