@@ -189,6 +189,7 @@ def run_bench() -> dict:
         "dedup_containment_pairs",
         "dedup_containment_keep",
         "media_decode_png",
+        "media_decode_gif",
         "rel_q3_shipping",
         "rel_q5_local_volume",
     ):

@@ -589,3 +589,61 @@ def rel_q5_local_volume(sf_dir: str):
         .groupby("n_name")
         .aggregate(Sum("rev", alias_name="revenue_c4"))
     )
+
+
+# --- GIF decode ---------------------------------------------------------------
+
+
+def _gif_oracle() -> str:
+    """Pixel-statistics oracle for the GIF fixtures: the digest bytes
+    are palette INDICES, and the fixture palette is arithmetic
+    (i, 255−i, 7i mod 256), so each decoded channel byte is a pure SQL
+    function of the tiled digest byte at pixel position p // 3."""
+    from ntto_ray.queries_media import _BYTE
+
+    ib = _BYTE.replace("p.p", "(p.p // 3)")
+    return f"""
+WITH img AS (
+  SELECT event_id AS media_id,
+         sha256(CAST(event_id AS VARCHAR)) AS dh,
+         24 * (4 + event_id % 4) AS n,
+         4 + event_id % 4 AS ih
+  FROM events WHERE event_id % 3 = 0
+),
+b AS (
+  SELECT media_id, n, ih, p.p AS p,
+         CASE p.p % 3
+           WHEN 0 THEN {ib}
+           WHEN 1 THEN 255 - ({ib})
+           ELSE (({ib}) * 7) % 256
+         END AS byte
+  FROM img CROSS JOIN (SELECT unnest(generate_series(0, 167)) AS p) p
+  WHERE p.p < n
+)
+SELECT media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(any_value(ih) AS INTEGER) AS height,
+       CAST(sum(byte) FILTER (p % 3 = 0) / (n / 3) AS FLOAT) AS f0,
+       CAST(sum(byte) FILTER (p % 3 = 1) / (n / 3) AS FLOAT) AS f1,
+       CAST(sum(byte) FILTER (p % 3 = 2) / (n / 3) AS FLOAT) AS f2,
+       CAST(avg(byte) AS FLOAT) AS f3,
+       CAST(min(byte) AS FLOAT) AS f4,
+       CAST(max(byte) AS FLOAT) AS f5,
+       CAST(CAST(sum(byte*byte) AS DOUBLE) / n - avg(byte)*avg(byte) AS FLOAT) AS f6,
+       CAST(CAST(count(*) FILTER (byte > 127) AS DOUBLE) / n AS FLOAT) AS f7
+FROM b GROUP BY media_id, n
+"""
+
+
+@register("media_decode_gif", oracle=_gif_oracle())
+def media_decode_gif(sf_dir: str):
+    """REAL GIF decode with no image library: a pure-Python GIF87a
+    codec (variable-width LZW with dictionary growth, 12-bit cap and
+    clear-code reset; global color table; extension blocks skipped) in
+    stages/multimodal.py. The fixture payloads index an arithmetic
+    palette, so the palette-expanded pixel statistics are exactly
+    SQL-mirrorable — the third compressed/indexed format with an
+    oracle-exact decoder (PNG, GIF; only JPEG still honestly raises)."""
+    from ntto_ray.queries_media import _decode_real
+
+    return _decode_real(sf_dir, codec="gif")

@@ -77,12 +77,22 @@ def synth_media(
                 ).reshape(ih, iw, 3)
                 if image_codec == "png":
                     payloads.append(encode_png(px, filter_type=int(i) % 5))
+                elif image_codec == "gif":
+                    # indexed: the digest bytes are palette INDICES over
+                    # the fixed arithmetic palette (i, 255-i, 7i mod 256)
+                    ni = iw * ih
+                    idx = np.frombuffer(
+                        (digest * (ni // len(digest) + 1))[:ni], dtype=np.uint8
+                    ).reshape(ih, iw)
+                    payloads.append(encode_gif(idx, GIF_FIXTURE_PALETTE))
                 else:
                     payloads.append(encode_ppm(px))
             else:
                 payloads.append(digest * (4 + int(i) % 4))
         img_mime = "image/png"
-        if real_images and image_codec != "png":
+        if real_images and image_codec == "gif":
+            img_mime = "image/gif"
+        elif real_images and image_codec != "png":
             img_mime = "image/x-portable-pixmap"
         mimes = np.array(
             [img_mime, "audio/wav", "video/mp4"], dtype=object
@@ -349,9 +359,11 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:4] == b"GIF8":
+        return _decode_gif(payload)
     raise NotImplementedError(
-        "unsupported image format (PPM P6 / 24-bit BMP / 8-bit RGB PNG "
-        "decode without an image library; install PIL/cv2 for JPEG)"
+        "unsupported image format (PPM P6 / 24-bit BMP / 8-bit RGB PNG / "
+        "GIF decode without an image library; install PIL/cv2 for JPEG)"
     )
 
 
@@ -657,3 +669,173 @@ def sample_frames(media: ray.data.Dataset, *, fps: float = 1.0) -> ray.data.Data
         concurrency=(1, 4),
         fn_constructor_kwargs={"fps": fps},
     )
+
+
+# --- GIF87a (LZW) codec -------------------------------------------------------
+
+# fixture palette for GIF tests/oracles: arithmetic in the index so the
+# decoded channel values are SQL-mirrorable pure functions of the index
+GIF_FIXTURE_PALETTE = np.stack(
+    [
+        np.arange(256),
+        255 - np.arange(256),
+        (np.arange(256) * 7) % 256,
+    ],
+    axis=1,
+).astype(np.uint8)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 index image + (n≤256, 3) uint8 palette → GIF87a
+    bytes with REAL variable-code-width LZW image data (dictionary
+    growth, 12-bit cap with clear-and-reset), single frame, global
+    color table, no interlace."""
+    import struct
+
+    if indices.ndim != 2 or indices.dtype != np.uint8:
+        raise ValueError("encode_gif expects (h, w) uint8 indices")
+    if palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("encode_gif expects (n, 3) palette")
+    h, w = indices.shape
+    # global color table size: next power of two ≥ palette rows (min 2)
+    bits = max(2, int(np.ceil(np.log2(max(2, len(palette))))))
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    header = b"GIF87a" + struct.pack(
+        "<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0
+    )
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+
+    # LZW encode
+    min_code = max(2, bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {(i,): i for i in range(1 << min_code)}, end + 1, min_code + 1
+
+    dic, next_code, width = fresh()
+    out_bits.append((clear, width))
+    seq: tuple[int, ...] = ()
+    for px in indices.reshape(-1).tolist():
+        cand = seq + (px,)
+        if cand in dic:
+            seq = cand
+            continue
+        out_bits.append((dic[seq], width))
+        dic[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4095:
+            out_bits.append((clear, width))
+            dic, next_code, width = fresh()
+        seq = (px,)
+    if seq:
+        out_bits.append((dic[seq], width))
+    out_bits.append((end, width))
+
+    # pack LSB-first
+    acc = n = 0
+    data = bytearray([min_code])
+    body = bytearray()
+    for code, wd in out_bits:
+        acc |= code << n
+        n += wd
+        while n >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        body.append(acc & 0xFF)
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        data.append(len(chunk))
+        data.extend(chunk)
+    data.append(0)
+    return header + table.tobytes() + img_desc + bytes(data) + b"\x3b"
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """Pure-Python GIF decode: GIF87a/89a, global color table, first
+    image frame, no interlace, extension blocks skipped. Real LZW with
+    dictionary growth and clear-code reset; output is the
+    palette-expanded (h, w, 3) uint8 array. Local color tables and
+    interlaced frames raise NotImplementedError."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w0, h0, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    table = np.frombuffer(payload, np.uint8, gct_n * 3, pos).reshape(gct_n, 3)
+    pos += gct_n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image frame")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    if ipacked & 0x80:
+        raise NotImplementedError("GIF local color tables not supported")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    min_code = payload[pos]
+    pos += 1
+    body = bytearray()
+    while payload[pos] != 0:
+        ln = payload[pos]
+        body.extend(payload[pos + 1 : pos + 1 + ln])
+        pos += 1 + ln
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    dic: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    out = bytearray()
+    acc = n = 0
+    prev: bytes | None = None
+    for byte in body:
+        acc |= byte << n
+        n += 8
+        while n >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n -= width
+            if code == clear:
+                dic = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                prev = None
+                n = 0
+                acc = 0
+                break
+            if prev is None:
+                entry = dic[code]
+            elif code < len(dic):
+                entry = dic[code]
+                dic.append(prev + entry[:1])
+            elif code == len(dic):  # the KwKwK case
+                entry = prev + prev[:1]
+                dic.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if prev is not None and len(dic) == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+    idx = np.frombuffer(bytes(out[: w * h]), np.uint8).reshape(h, w)
+    return table[idx]

@@ -197,6 +197,18 @@ def test_image_codec_roundtrip():
                 decode_image_array(encode_png(arr, filter_type=ft)) == arr
             ).all()
 
+    # GIF: indexed LZW roundtrip through dictionary growth, the KwKwK
+    # case (constant image) and the 12-bit clear-and-reset path
+    from ntto_ray.stages.multimodal import encode_gif
+
+    for h, w, ncol in [(4, 8, 8), (7, 3, 16), (16, 16, 64), (100, 100, 256)]:
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+        assert (decode_image_array(encode_gif(idx, pal)) == pal[idx]).all()
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = np.zeros((50, 50), np.uint8)
+    assert (decode_image_array(encode_gif(idx, pal)) == pal[idx]).all()
+
     # PPM with a header comment
     arr = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
     ppm = b"P6\n# a comment\n2 2\n255\n" + arr.tobytes()
